@@ -1,0 +1,85 @@
+"""Tetrahedral mesh ops (DMTet utilities).
+
+Parity: ``kaolin/ops/mesh/tetmesh.py`` (reference).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ['inverse_vertices_offset', 'subdivide_tetmesh']
+
+# edges of a tetrahedron (a,b), (a,c), (a,d), (b,c), (b,d), (c,d)
+_BASE_TET_EDGES = np.array([0, 1, 0, 2, 0, 3, 1, 2, 1, 3, 2, 3])
+
+
+def _validate_tet_vertices(tet_vertices):
+    if tet_vertices.ndim != 4 or tet_vertices.shape[2] != 4 \
+            or tet_vertices.shape[3] != 3:
+        raise ValueError(
+            f"tet_vertices must be (B, T, 4, 3), got {tet_vertices.shape}")
+
+
+def inverse_vertices_offset(tet_vertices):
+    """Inverse of the per-tet offset matrix ``[B-A; C-A; D-A]``.
+
+    Parity: ``kaolin/ops/mesh/tetmesh.py:41``.
+
+    Args:
+        tet_vertices: ``(B, T, 4, 3)``.
+
+    Returns:
+        ``(B, T, 3, 3)`` inverse offset matrices.
+    """
+    _validate_tet_vertices(tet_vertices)
+    A = tet_vertices[:, :, 0:1]
+    offset = tet_vertices[:, :, 1:] - A  # (B, T, 3, 3)
+    return jnp.linalg.inv(offset)
+
+
+def subdivide_tetmesh(vertices, tetrahedrons, features=None):
+    """8-way midpoint subdivision of a tet mesh with feature interpolation.
+
+    Topology (edge dedup) is host numpy; vertex / feature math stays traced.
+
+    Parity: ``kaolin/ops/mesh/tetmesh.py:85``.
+
+    Args:
+        vertices: ``(B, V, 3)``.
+        tetrahedrons: ``(T, 4)`` int (concrete).
+        features: optional ``(B, V, D)``.
+
+    Returns:
+        (new_vertices, new_tetrahedrons[, new_features]).
+    """
+    tets = np.asarray(tetrahedrons)
+    all_edges = tets[:, _BASE_TET_EDGES].reshape(-1, 2)
+    all_edges = np.sort(all_edges, axis=-1)
+    unique_edges, idx_map = np.unique(all_edges, axis=0, return_inverse=True)
+    idx_map = idx_map.reshape(-1) + vertices.shape[1]
+
+    pos_feature = (jnp.concatenate([vertices, features], axis=-1)
+                   if features is not None else vertices)
+    mid = pos_feature[:, unique_edges.reshape(-1)].reshape(
+        pos_feature.shape[0], -1, 2, pos_feature.shape[-1]).mean(axis=2)
+    new_pos_feature = jnp.concatenate([pos_feature, mid], axis=1)
+    new_pos = new_pos_feature[..., :3]
+    new_features = new_pos_feature[..., 3:]
+
+    idx_a, idx_b, idx_c, idx_d = tets[:, 0], tets[:, 1], tets[:, 2], tets[:, 3]
+    em = idx_map.reshape(-1, 6)
+    idx_ab, idx_ac, idx_ad, idx_bc, idx_bd, idx_cd = em.T
+
+    new_tets = np.concatenate([
+        np.stack([idx_a, idx_ab, idx_ac, idx_ad], axis=1),
+        np.stack([idx_b, idx_bc, idx_ab, idx_bd], axis=1),
+        np.stack([idx_c, idx_ac, idx_bc, idx_cd], axis=1),
+        np.stack([idx_d, idx_ad, idx_cd, idx_bd], axis=1),
+        np.stack([idx_ab, idx_ac, idx_ad, idx_bd], axis=1),
+        np.stack([idx_ab, idx_ac, idx_bd, idx_bc], axis=1),
+        np.stack([idx_cd, idx_ac, idx_bd, idx_ad], axis=1),
+        np.stack([idx_cd, idx_ac, idx_bc, idx_bd], axis=1),
+    ], axis=0)
+    new_tets = jnp.asarray(new_tets)
+    if features is None:
+        return new_pos, new_tets
+    return new_pos, new_tets, new_features

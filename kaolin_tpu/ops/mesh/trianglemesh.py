@@ -1,0 +1,340 @@
+"""Triangle mesh ops: areas, sampling, normals, subdivision.
+
+Parity: ``kaolin/ops/mesh/trianglemesh.py`` (reference).
+
+TPU-first notes:
+
+* Sampling accepts an explicit ``key=`` (jax.random key) so it is jit-able
+  (`jax.random.categorical` replaces ``torch.multinomial``); without a key it
+  falls back to the module host RNG (``kaolin_tpu.ops.random``).
+* Topology-changing subdivision keeps index computation on host (numpy) and
+  vertex math in traced jnp so positions remain differentiable, replacing the
+  reference's sparse-tensor machinery (``trianglemesh.py:460-612``).
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kaolin_tpu.ops import random as _random
+from kaolin_tpu.ops.batch import get_first_idx
+
+__all__ = [
+    'face_areas',
+    'packed_face_areas',
+    'sample_points',
+    'packed_sample_points',
+    'face_normals',
+    'subdivide_trianglemesh',
+]
+
+
+def _base_face_areas(v0, v1, v2):
+    """Areas from the three vertex positions (cross-product magnitude / 2)."""
+    x1, x2, x3 = jnp.split(v0 - v1, 3, axis=-1)
+    y1, y2, y3 = jnp.split(v1 - v2, 3, axis=-1)
+    a = (x2 * y3 - x3 * y2) ** 2
+    b = (x3 * y1 - x1 * y3) ** 2
+    c = (x1 * y2 - x2 * y1) ** 2
+    return jnp.sqrt(a + b + c) * 0.5
+
+
+def _base_sample_points_selected_faces(face_vertices, face_features=None,
+                                       u=None, v=None):
+    """Sample barycentric points on the given faces.
+
+    ``u`` is sqrt-warped so the density over the triangle is uniform
+    (reference ``trianglemesh.py:42-94``).
+    """
+    fv0, fv1, fv2 = face_vertices
+    w0 = 1. - u
+    w1 = u * (1. - v)
+    w2 = u * v
+    points = w0 * fv0 + w1 * fv1 + w2 * fv2
+    features = None
+    if face_features is not None:
+        ff0, ff1, ff2 = face_features
+        features = w0 * ff0 + w1 * ff1 + w2 * ff2
+    return points, features
+
+
+def face_areas(vertices, faces):
+    """Areas of each face of batched fixed-topology triangle meshes.
+
+    Parity: ``kaolin/ops/mesh/trianglemesh.py:97``.
+
+    Args:
+        vertices: ``(B, V, 3)``.
+        faces: ``(F, 3)`` int.
+
+    Returns:
+        ``(B, F)`` areas.
+    """
+    faces = jnp.asarray(faces)
+    fv = vertices[:, faces]  # (B, F, 3, 3)
+    return _base_face_areas(fv[:, :, 0], fv[:, :, 1], fv[:, :, 2])[..., 0]
+
+
+def packed_face_areas(vertices, first_idx_vertices, faces, num_faces_per_mesh):
+    """Areas of faces of packed meshes.
+
+    Parity: ``kaolin/ops/mesh/trianglemesh.py:124``.
+
+    Args:
+        vertices: packed ``(total_V, 3)``.
+        first_idx_vertices: ``(B + 1,)`` host offsets into vertices.
+        faces: packed ``(total_F, 3)`` (per-mesh local indices).
+        num_faces_per_mesh: ``(B,)`` host array.
+
+    Returns:
+        packed ``(total_F,)`` areas.
+    """
+    first_idx_vertices = np.asarray(first_idx_vertices)
+    num_faces_per_mesh = np.asarray(num_faces_per_mesh)
+    vert_offset = jnp.asarray(
+        np.repeat(first_idx_vertices[:-1], num_faces_per_mesh))[:, None]
+    global_faces = jnp.asarray(faces) + vert_offset
+    fv = vertices[global_faces]  # (total_F, 3, 3)
+    return _base_face_areas(fv[:, 0], fv[:, 1], fv[:, 2])[..., 0]
+
+
+def sample_points(vertices, faces, num_samples, areas=None,
+                  face_features=None, key=None):
+    """Uniformly sample points (and optional interpolated features) on meshes.
+
+    Face choice is area-weighted; within-face sampling uses the sqrt-warped
+    barycentric trick.  Fully jit-able when ``key`` is given.
+
+    Parity: ``kaolin/ops/mesh/trianglemesh.py:158``.
+
+    Args:
+        vertices: ``(B, V, 3)``.
+        faces: ``(F, 3)`` int.
+        num_samples: number of points per mesh.
+        areas: optional precomputed ``(B, F)`` areas.
+        face_features: optional ``(B, F, 3, D)`` per-corner features.
+        key: optional ``jax.random`` key; defaults to the module RNG.
+
+    Returns:
+        (points ``(B, num_samples, 3)``, face_choices ``(B, num_samples)``)
+        or (points, features, face_choices) when ``face_features`` is given.
+    """
+    if key is None:
+        key = jax.random.key(int(_random._rng.integers(0, 2**31 - 1)))
+    faces = jnp.asarray(faces)
+    B = vertices.shape[0]
+    if areas is None:
+        areas = face_areas(vertices, faces)
+    k_choice, k_u, k_v = jax.random.split(key, 3)
+    logits = jnp.log(jnp.maximum(areas, 1e-30))
+    face_choices = jax.random.categorical(
+        k_choice, logits[:, None, :], shape=(B, num_samples))  # (B, S)
+    fv = vertices[:, faces]  # (B, F, 3, 3)
+    sel = jnp.take_along_axis(
+        fv, face_choices[:, :, None, None], axis=1)  # (B, S, 3, 3)
+    u = jnp.sqrt(jax.random.uniform(k_u, (B, num_samples, 1),
+                                    dtype=vertices.dtype))
+    v = jax.random.uniform(k_v, (B, num_samples, 1), dtype=vertices.dtype)
+    ff = None
+    if face_features is not None:
+        sel_ff = jnp.take_along_axis(
+            face_features, face_choices[:, :, None, None], axis=1)  # (B,S,3,D)
+        ff = (sel_ff[:, :, 0], sel_ff[:, :, 1], sel_ff[:, :, 2])
+    points, features = _base_sample_points_selected_faces(
+        (sel[:, :, 0], sel[:, :, 1], sel[:, :, 2]), ff, u=u, v=v)
+    if face_features is not None:
+        return points, features, face_choices
+    return points, face_choices
+
+
+def packed_sample_points(vertices, first_idx_vertices, faces,
+                         num_faces_per_mesh, num_samples, key=None):
+    """Uniformly sample points over packed meshes.
+
+    Parity: ``kaolin/ops/mesh/trianglemesh.py:245``.
+
+    Returns:
+        (points ``(B, num_samples, 3)``, face_choices ``(B, num_samples)``)
+        with per-mesh *local* face indices.
+    """
+    if key is None:
+        key = jax.random.key(int(_random._rng.integers(0, 2**31 - 1)))
+    first_idx_vertices = np.asarray(first_idx_vertices)
+    num_faces_per_mesh = np.asarray(num_faces_per_mesh)
+    first_idx_faces = get_first_idx(num_faces_per_mesh)
+    B = num_faces_per_mesh.shape[0]
+    all_areas = packed_face_areas(vertices, first_idx_vertices, faces,
+                                  num_faces_per_mesh)
+    points_out, choices_out = [], []
+    for b in range(B):
+        k = jax.random.fold_in(key, b)
+        lo, hi = int(first_idx_faces[b]), int(first_idx_faces[b + 1])
+        sub_faces = jnp.asarray(faces)[lo:hi] + int(first_idx_vertices[b])
+        areas = all_areas[lo:hi]
+        k_choice, k_u, k_v = jax.random.split(k, 3)
+        face_choices = jax.random.categorical(
+            k_choice, jnp.log(jnp.maximum(areas, 1e-30)), shape=(num_samples,))
+        fv = vertices[sub_faces[face_choices]]  # (S, 3, 3)
+        u = jnp.sqrt(jax.random.uniform(k_u, (num_samples, 1),
+                                        dtype=vertices.dtype))
+        v = jax.random.uniform(k_v, (num_samples, 1), dtype=vertices.dtype)
+        pts, _ = _base_sample_points_selected_faces(
+            (fv[:, 0], fv[:, 1], fv[:, 2]), u=u, v=v)
+        points_out.append(pts)
+        choices_out.append(face_choices)
+    return jnp.stack(points_out), jnp.stack(choices_out)
+
+
+def face_normals(face_vertices, unit=False):
+    """Face normals of triangle meshes from per-face vertex positions.
+
+    Parity: ``kaolin/ops/mesh/trianglemesh.py:313``.
+
+    Args:
+        face_vertices: ``(B, F, 3, 3)``.
+        unit: normalize to unit length.
+
+    Returns:
+        ``(B, F, 3)`` normals.
+    """
+    if face_vertices.shape[-2:] != (3, 3):
+        raise ValueError(
+            f"face_vertices must be (..., 3, 3), got {face_vertices.shape}")
+    v0 = face_vertices[..., 0, :]
+    v1 = face_vertices[..., 1, :]
+    v2 = face_vertices[..., 2, :]
+    normals = jnp.cross(v1 - v0, v2 - v0)
+    if unit:
+        normals = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+    return normals
+
+
+def _unbatched_subdivide_vertices(vertices, faces, resolution):
+    """Midpoint-subdivide vertices until all edges are shorter than the voxel
+    diagonal threshold; returns only the (deduplicated, sorted) vertices.
+
+    Host-side (numpy): output size is data-dependent.
+    Parity: ``kaolin/ops/mesh/trianglemesh.py:339``.
+    """
+    assert resolution > 1
+    vertices = np.asarray(vertices)
+    faces = np.asarray(faces)
+    min_edge_length = ((resolution - 1) / (resolution ** 2)) ** 2
+
+    v1 = vertices[faces[:, 0]]
+    v2 = vertices[faces[:, 1]]
+    v3 = vertices[faces[:, 2]]
+    while True:
+        e1 = ((v1 - v2) ** 2).sum(axis=1)
+        e2 = ((v2 - v3) ** 2).sum(axis=1)
+        e3 = ((v3 - v1) ** 2).sum(axis=1)
+        keep = np.maximum(np.maximum(e1, e2), e3) > min_edge_length
+        if not keep.any():
+            break
+        v1, v2, v3 = v1[keep], v2[keep], v3[keep]
+        v4 = (v1 + v3) / 2
+        v5 = (v1 + v2) / 2
+        v6 = (v2 + v3) / 2
+        vertices = np.unique(
+            np.concatenate([vertices, v4, v5, v6]), axis=0)
+        v1 = np.concatenate([v1, v2, v4, v3])
+        v2 = np.concatenate([v4, v5, v5, v4])
+        v3 = np.concatenate([v5, v6, v6, v6])
+    return jnp.asarray(vertices)
+
+
+def _loop_alpha(n):
+    """Loop subdivision vertex weight for valence n (reference :472)."""
+    alpha = (5.0 / 8 - (3.0 / 8 + 1.0 / 4 * np.cos(2 * math.pi / n)) ** 2) / n
+    return np.where(n == 3, 3. / 16., alpha)
+
+
+def subdivide_trianglemesh(vertices, faces, iterations, alpha=None):
+    """Loop subdivision with optional learnable per-vertex smoothing alpha.
+
+    With ``alpha=None`` this is exact Loop subdivision; otherwise the vertex
+    update is ``(1 - alpha) * v + alpha / n * sum(neighbors)`` and alpha is
+    carried (averaged) to new edge vertices, as in DMTet.
+
+    Topology (faces, edge indexing) is computed on host; all vertex/alpha
+    arithmetic stays in jnp and is differentiable.
+
+    Parity: ``kaolin/ops/mesh/trianglemesh.py:481``.
+
+    Args:
+        vertices: ``(B, V, 3)``.
+        faces: ``(F, 3)`` int (concrete / host).
+        iterations: number of subdivision rounds.
+        alpha: optional ``(B, V)`` smoothing factors.
+
+    Returns:
+        (new_vertices ``(B, V', 3)``, new_faces ``(F * 4**it, 3)`` numpy).
+    """
+    faces_np = np.asarray(faces)
+    init_alpha = alpha
+    for _ in range(iterations):
+        b, v = vertices.shape[0], vertices.shape[1]
+        f = faces_np.shape[0]
+        edges_fx3x2 = faces_np[:, [[0, 1], [1, 2], [2, 0]]]
+        edges_sorted = np.sort(edges_fx3x2.reshape(-1, 2), axis=-1)
+        edges_ex2, inverse_indices, counts = np.unique(
+            edges_sorted, axis=0, return_inverse=True, return_counts=True)
+        inverse_indices = inverse_indices.reshape(-1)
+        all_edges_face_idx = np.repeat(np.arange(f), 3)
+
+        # vertex valence and neighbor sums via the undirected edge list
+        both_dir = np.concatenate([edges_ex2, edges_ex2[:, ::-1]])
+        n = np.zeros(v, dtype=np.float64)
+        np.add.at(n, both_dir[:, 0], 1.)
+        n = n.reshape(-1, 1)
+        if init_alpha is None:
+            alpha = jnp.asarray((_loop_alpha(n) * n)[None, :, :],
+                                dtype=vertices.dtype)  # (1, V, 1)
+        else:
+            alpha = jnp.asarray(alpha)
+            if alpha.ndim == 2:
+                alpha = alpha[..., None]
+
+        nbr_sum = jnp.zeros_like(vertices)
+        nbr_sum = nbr_sum.at[:, both_dir[:, 0]].add(
+            vertices[:, both_dir[:, 1]])
+        n_j = jnp.asarray(n, dtype=vertices.dtype)
+        vertices_new = (1 - alpha) * vertices + alpha / n_j * nbr_sum
+
+        e = edges_ex2.shape[0]
+        edges_fx3 = inverse_indices.reshape(f, 3) + v
+        mask_e = counts == 2
+
+        # boundary edge points: midpoint of the two endpoints
+        edge_pts = (vertices[:, edges_ex2[:, 0]] +
+                    vertices[:, edges_ex2[:, 1]]) / 2.
+        alpha_pts = (alpha[:, edges_ex2[:, 0]] +
+                     alpha[:, edges_ex2[:, 1]]) / 2.
+
+        # interior edge points: mean of the 6 vertices of the two adjacent
+        # faces plus the 2 endpoints (== Loop 3/8-3/8-1/8-1/8 rule)
+        if mask_e.any():
+            sel = mask_e[inverse_indices]  # interior face-edge slots
+            groups = inverse_indices[sel]
+            order = np.argsort(groups, kind='stable')
+            face_pairs = all_edges_face_idx[sel][order].reshape(-1, 2)
+            int_edge_ids = np.nonzero(mask_e)[0]
+            int_edges = edges_ex2[int_edge_ids]  # (E_int, 2)
+            six = faces_np[face_pairs.reshape(-1)].reshape(-1, 6)
+            idx8 = np.concatenate([six, int_edges], axis=1)  # (E_int, 8)
+            int_pts = vertices[:, idx8.reshape(-1)].reshape(
+                b, -1, 8, 3).mean(axis=2)
+            int_alpha = alpha[:, idx8.reshape(-1)].reshape(
+                b, -1, 8, 1).mean(axis=2)
+            edge_pts = edge_pts.at[:, int_edge_ids].set(int_pts)
+            alpha_pts = alpha_pts.at[:, int_edge_ids].set(int_alpha)
+
+        alpha = jnp.concatenate([alpha, alpha_pts], axis=1)
+        vertices = jnp.concatenate([vertices_new, edge_pts], axis=1)
+        faces6 = np.concatenate([faces_np, edges_fx3], axis=1)
+        faces_np = faces6[:, [[1, 4, 3], [0, 3, 5], [2, 5, 4],
+                              [5, 3, 4]]].reshape(-1, 3)
+    return vertices, jnp.asarray(faces_np)

@@ -1,0 +1,2 @@
+from kaolin_tpu.render import camera  # noqa: F401
+from kaolin_tpu.render import lighting  # noqa: F401

@@ -1,0 +1,14 @@
+from kaolin_tpu.render.camera.camera import Camera  # noqa: F401
+from kaolin_tpu.render.camera.extrinsics import CameraExtrinsics  # noqa: F401
+from kaolin_tpu.render.camera.extrinsics_backends import (  # noqa: F401
+    available_backends)
+from kaolin_tpu.render.camera.intrinsics import (  # noqa: F401
+    CameraFOV, CameraIntrinsics, up_to_homogeneous, down_from_homogeneous)
+from kaolin_tpu.render.camera.intrinsics_pinhole import PinholeIntrinsics  # noqa: F401
+from kaolin_tpu.render.camera.intrinsics_ortho import OrthographicIntrinsics  # noqa: F401
+from kaolin_tpu.render.camera.legacy import (  # noqa: F401
+    rotate_translate_points, generate_rotate_translate_matrices,
+    generate_transformation_matrix, perspective_camera,
+    generate_perspective_projection)
+from kaolin_tpu.render.camera.coordinates import (  # noqa: F401
+    blender_coords, opengl_coords)

@@ -1,0 +1,21 @@
+"""Test configuration: force CPU with 8 virtual devices for sharding tests.
+
+Mirrors the reference test strategy (SURVEY.md §4): unit tests run on a fake
+multi-device CPU mesh so multi-chip sharding is exercised without TPU pods.
+
+NOTE: the environment pins JAX_PLATFORMS=axon (remote TPU tunnel) and a
+sitecustomize registers the axon PJRT plugin at interpreter startup, so we
+must override both the env var (for subprocesses) and jax.config here,
+before any test module imports jax ops.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
