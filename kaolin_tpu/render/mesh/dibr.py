@@ -1,0 +1,195 @@
+"""DIB-R: soft silhouette mask + full differentiable renderer.
+
+Parity: ``kaolin/render/mesh/dibr.py`` + the CUDA kernels
+``kaolin/csrc/render/mesh/dibr_soft_mask_cuda.cu`` (reference).
+
+TPU-native design (same split as :mod:`rasterization`):
+
+1. **k-buffer selection pass** (non-differentiable): for each uncovered
+   pixel, the first ``knum`` faces (in face order, matching the CUDA loop
+   ``dibr_soft_mask_cuda.cu:80``) whose *enlarged* bbox covers the pixel.
+   Vectorized with a running per-pixel count over face chunks (the
+   first-k rule is a cumsum-based scatter — no serial loop).
+2. **differentiable epilogue**: for each (pixel, k) recompute the min
+   squared distance to the face (3 perpendicular edge distances with the
+   "bad triangle" sentinel ``4*multiplier**2`` :135, and 3 vertex
+   distances), ``prob = exp(-sigmainv * d / multiplier**2)``, combined as
+   ``1 - prod(1 - p)`` :174-182.  JAX autodiff reproduces the reference
+   backward (:230-353) through the same branch structure.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kaolin_tpu.render.mesh.rasterization import pixel_coords, rasterize
+
+__all__ = ['dibr_soft_mask', 'dibr_rasterization']
+
+_EPS = 1e-7  # reference dibr_soft_mask_cuda.cu:23
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'height', 'width', 'knum', 'pixel_chunk', 'face_chunk'))
+def _soft_mask_select(face_bboxes, empty_pixel, xs, ys, height, width, knum,
+                      pixel_chunk=4096, face_chunk=1024):
+    """First-knum covering faces per pixel (single mesh).
+
+    face_bboxes: (F, 4) enlarged [xmin, ymin, xmax, ymax] (scaled);
+    empty_pixel: (H, W) bool.
+
+    Returns:
+        (H, W, knum) int32 face indices, -1 padded.
+    """
+    F = face_bboxes.shape[0]
+    P = height * width
+    fpad = (-F) % face_chunk
+    bboxes = jnp.pad(face_bboxes, ((0, fpad), (0, 0)),
+                     constant_values=jnp.inf)  # never covers
+    bboxes = bboxes.at[F:, 2:].set(-jnp.inf)
+    num_fchunks = (F + fpad) // face_chunk
+
+    ppad = (-P) % pixel_chunk
+    pix = jnp.arange(P + ppad)
+    px = xs[jnp.minimum(pix % width, width - 1)]
+    py = ys[jnp.minimum(pix // width, height - 1)]
+    empty = jnp.pad(empty_pixel.reshape(-1), (0, ppad))
+    coords = jnp.stack(
+        [px, py, empty.astype(px.dtype)], axis=-1
+    ).reshape(-1, pixel_chunk, 3)
+
+    def pixel_block(c):
+        x0, y0 = c[:, 0:1], c[:, 1:2]  # (pc, 1)
+        is_empty = c[:, 2] > 0.5
+
+        def face_step(i, carry):
+            kbuf, count = carry
+            lo = i * face_chunk
+            bb = jax.lax.dynamic_slice_in_dim(bboxes, lo, face_chunk)
+            covered = ((x0 >= bb[:, 0][None]) & (x0 < bb[:, 2][None])
+                       & (y0 >= bb[:, 1][None]) & (y0 < bb[:, 3][None]))
+            covered = covered & is_empty[:, None]  # (pc, fc)
+            rank = count[:, None] + jnp.cumsum(
+                covered.astype(jnp.int32), axis=1) - 1
+            keep = covered & (rank < knum)
+            rows = jnp.broadcast_to(
+                jnp.arange(covered.shape[0])[:, None], covered.shape)
+            cols = jnp.where(keep, rank, knum)  # knum = OOB -> dropped
+            fids = jnp.broadcast_to(
+                (jnp.arange(face_chunk) + lo)[None, :], covered.shape
+            ).astype(jnp.int32)
+            kbuf = kbuf.at[rows, cols].set(
+                fids, mode='drop', unique_indices=True)
+            count = jnp.minimum(
+                count + jnp.sum(covered.astype(jnp.int32), axis=1), knum)
+            return kbuf, count
+
+        kbuf0 = jnp.full((pixel_chunk, knum), -1, dtype=jnp.int32)
+        count0 = jnp.zeros((pixel_chunk,), dtype=jnp.int32)
+        kbuf, _ = jax.lax.fori_loop(0, num_fchunks, face_step,
+                                    (kbuf0, count0))
+        return kbuf
+
+    out = jax.lax.map(pixel_block, coords).reshape(-1, knum)[:P]
+    return out.reshape(height, width, knum)
+
+
+def _face_min_sqdist(fv, x0, y0, multiplier):
+    """Min squared distance from pixel (x0, y0) to a 2D triangle.
+
+    fv: (..., 3, 2) scaled face verts; x0/y0 broadcastable to (...).
+    Matches ``dibr_soft_mask_cuda.cu:100-149``: 3 perpendicular edge
+    distances (sentinel ``4*multiplier**2`` when the projection falls
+    outside the segment) and 3 vertex distances.
+    """
+    dists = []
+    sentinel = 4. * multiplier * multiplier
+    for i in range(3):
+        x1, y1 = fv[..., i, 0], fv[..., i, 1]
+        x2, y2 = fv[..., (i + 1) % 3, 0], fv[..., (i + 1) % 3, 1]
+        A = y2 - y1
+        B = x1 - x2
+        C = x2 * y1 - x1 * y2
+        up = A * x0 + B * y0 + C
+        down = A * A + B * B
+        x3 = (B * B * x0 - A * B * y0 - A * C) / (down + _EPS)
+        y3 = (A * A * y0 - A * B * x0 - B * C) / (down + _EPS)
+        direct = (x3 - x1) * (x3 - x2) + (y3 - y1) * (y3 - y2)
+        perp = up * up / (down + _EPS)
+        dists.append(jnp.where(direct > 0, sentinel, perp))
+    for i in range(3):
+        x1, y1 = fv[..., i, 0], fv[..., i, 1]
+        dists.append((x0 - x1) ** 2 + (y0 - y1) ** 2)
+    return jnp.min(jnp.stack(dists, axis=-1), axis=-1)
+
+
+def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
+                   boxlen=0.02, knum=30, multiplier=1000.):
+    """Differentiable soft silhouette mask.
+
+    Parity: ``kaolin/render/mesh/dibr.py:75``.
+
+    Args:
+        face_vertices_image: ``(B, F, 3, 2)`` image-plane positions in
+            [-1, 1].
+        selected_face_idx: ``(B, H, W)`` winning face per pixel (-1 = empty),
+            from :func:`kaolin_tpu.render.mesh.rasterize`.
+        sigmainv: sharpness (higher = sharper).
+        boxlen: influence margin around each face bbox.
+        knum: max faces influencing one pixel.
+        multiplier: internal coordinate scale.
+
+    Returns:
+        ``(B, H, W)`` soft mask in [0, 1].
+    """
+    B, H, W = selected_face_idx.shape
+    fvi_scaled = face_vertices_image * multiplier
+    pts_min = jnp.min(fvi_scaled, axis=-2)
+    pts_max = jnp.max(fvi_scaled, axis=-2)
+    bboxes = jnp.concatenate([pts_min - boxlen * multiplier,
+                              pts_max + boxlen * multiplier], axis=-1)
+    xs, ys = pixel_coords(H, W, multiplier,
+                          dtype=face_vertices_image.dtype)
+    empty = selected_face_idx < 0
+
+    kbuf = jax.vmap(lambda bb, em: _soft_mask_select(
+        bb, em, xs, ys, height=H, width=W, knum=knum))(
+            jax.lax.stop_gradient(bboxes), empty)
+    kbuf = jax.lax.stop_gradient(kbuf)  # (B, H, W, knum)
+
+    def epilogue(fvi_b, kbuf_b, empty_b):
+        valid_k = kbuf_b >= 0
+        sel = jnp.maximum(kbuf_b, 0)
+        fv = fvi_b[sel]  # (H, W, knum, 3, 2)
+        x0 = xs[None, :, None]
+        y0 = ys[:, None, None]
+        d = _face_min_sqdist(fv, x0, y0, multiplier)
+        z = sigmainv * d / (multiplier * multiplier)
+        prob = jnp.where(valid_k, jnp.exp(-z), 0.)
+        allprob = 1. - jnp.prod(1. - prob, axis=-1)
+        return jnp.where(empty_b, allprob, 1.)
+
+    return jax.vmap(epilogue)(fvi_scaled, kbuf, empty)
+
+
+def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
+                       face_features, face_normals_z, sigmainv=7000,
+                       boxlen=0.02, knum=30, multiplier=None, eps=None,
+                       rast_backend='auto'):
+    """Full DIB-R differentiable renderer: rasterize with backface culling
+    (``face_normals_z >= 0``) + soft mask.
+
+    Parity: ``kaolin/render/mesh/dibr.py:119``.
+
+    Returns:
+        (image_features, soft_mask, face_idx).
+    """
+    interpolated_features, face_idx = rasterize(
+        height, width, face_vertices_z, face_vertices_image, face_features,
+        face_normals_z >= 0., multiplier, eps, rast_backend)
+    _multiplier = 1000. if multiplier is None else multiplier
+    soft_mask = dibr_soft_mask(face_vertices_image, face_idx, sigmainv,
+                               boxlen, knum, _multiplier)
+    return interpolated_features, soft_mask, face_idx
