@@ -1,0 +1,93 @@
+"""Benchmark: DIB-R 512x512 forward+backward throughput (Mpixels/s/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (driver config #2): textured-mesh inverse rendering — fox.obj
+(10k faces) rendered at 512^2 with UV textures + SH lighting, gradients
+back to vertex positions, texture and lighting.  ``vs_baseline`` is the
+speedup of the best backend over the pure-XLA ('jnp') reference backend on
+the same chip (the reference publishes no absolute numbers — BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_step(backend, height, width):
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.io import obj
+    from kaolin_tpu.models import inverse_render as M
+
+    mesh = obj.import_mesh('/root/reference/sample_data/meshes/fox.obj',
+                           triangulate=True)
+    faces = jnp.asarray(np.asarray(mesh.faces))
+    face_uvs = jnp.asarray(
+        np.asarray(mesh.uvs)[np.asarray(mesh.face_uvs_idx)])
+    params = M.init_params(mesh, texture_res=256)
+    views = M.make_views(1)
+    target_images = jnp.zeros((1, height, width, 3))
+    target_masks = jnp.zeros((1, height, width))
+
+    def loss_fn(p):
+        return M.render_loss(p, views, faces, face_uvs, target_images,
+                             target_masks, height, width, backend=backend)
+
+    @jax.jit
+    def step(p):
+        return jax.grad(loss_fn)(p)
+
+    return step, params
+
+
+def timed(step, params, iters=8):
+    import jax
+    g = step(params)           # compile + warmup
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(params)
+    jax.block_until_ready(g)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    height = width = 512
+    results = {}
+    errors = {}
+    for backend in ('jnp', 'pallas'):
+        try:
+            step, params = build_step(backend, height, width)
+            results[backend] = timed(step, params)
+        except Exception as e:  # pallas may be unavailable off-TPU
+            errors[backend] = f"{type(e).__name__}: {e}"
+    if not results:
+        print(json.dumps({"metric": "dibr_fwd_bwd_512", "value": 0.0,
+                          "unit": "Mpixels/s/chip", "vs_baseline": 0.0,
+                          "errors": errors}))
+        return
+    best_backend = min(results, key=results.get)
+    best = results[best_backend]
+    mpix = (height * width / best) / 1e6
+    base = results.get('jnp', best)
+    out = {
+        "metric": "dibr_fwd_bwd_512",
+        "value": round(mpix, 3),
+        "unit": "Mpixels/s/chip",
+        "vs_baseline": round(base / best, 3),
+    }
+    print(json.dumps(out))
+    # extra diagnostics on stderr (driver parses stdout JSON only)
+    print(f"backend times: "
+          f"{ {k: round(v * 1e3, 2) for k, v in results.items()} } ms; "
+          f"best={best_backend}; errors={errors}", file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

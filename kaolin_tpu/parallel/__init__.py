@@ -1,0 +1,2 @@
+from kaolin_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh, shard_views, replicate, multi_view_grad)

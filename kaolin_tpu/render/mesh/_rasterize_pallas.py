@@ -29,13 +29,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH = 8     # pixel tile height (sublane)
-TW = 128   # pixel tile width (lane)
-FC = 256   # faces per chunk
+TH = 8     # pixel tile height
+TW = 128   # pixel tile width
+FC = 128   # faces per chunk (lane dim of the (TH, TW, FC) compute block)
 
 
-def _selection_kernel(mask_ref, xs_ref, ys_ref, fvz_ref, fvi_ref, valid_ref,
-                      idx_ref, z_ref, *, eps):
+def _selection_kernel(mask_ref, fvz_ref, fvi_ref, valid_ref,
+                      idx_ref, z_ref, *, eps, height, width, multiplier):
     f = pl.program_id(3)
 
     @pl.when(f == 0)
@@ -43,25 +43,33 @@ def _selection_kernel(mask_ref, xs_ref, ys_ref, fvz_ref, fvi_ref, valid_ref,
         idx_ref[...] = jnp.full_like(idx_ref, -1)
         z_ref[...] = jnp.full_like(z_ref, -jnp.inf)
 
-    @pl.when(mask_ref[0] != 0)
+    @pl.when(mask_ref[0, 0, pl.program_id(2), f] != 0)
     def _body():
-        x0 = xs_ref[0, :]  # (TW,)
-        y0 = ys_ref[0, :]  # (TH,)
-        X = jnp.broadcast_to(x0[None, :], (TH, TW)).reshape(TH * TW, 1)
-        Y = jnp.broadcast_to(y0[:, None], (TH, TW)).reshape(TH * TW, 1)
+        # pixel-center coords (rasterization_cuda.cu:85-86), computed from
+        # the tile position: x = m/W*(2*wi+1-W), y = m/H*(H-2*hi-1)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        wi = (j * TW + jax.lax.broadcasted_iota(
+            jnp.int32, (TH, TW, 1), 1)).astype(jnp.float32)
+        hi = (i * TH + jax.lax.broadcasted_iota(
+            jnp.int32, (TH, TW, 1), 0)).astype(jnp.float32)
+        X = (multiplier / width) * (2. * wi + 1. - width)    # (TH, TW, 1)
+        Y = (multiplier / height) * (height - 2. * hi - 1.)
 
-        ax = fvi_ref[0, :, 0][None, :]  # (1, FC)
-        ay = fvi_ref[0, :, 1][None, :]
-        bx = fvi_ref[0, :, 2][None, :]
-        by = fvi_ref[0, :, 3][None, :]
-        cx = fvi_ref[0, :, 4][None, :]
-        cy = fvi_ref[0, :, 5][None, :]
-        az = fvz_ref[0, :, 0][None, :]
-        bz = fvz_ref[0, :, 1][None, :]
-        cz = fvz_ref[0, :, 2][None, :]
-        valid = valid_ref[0, :][None, :] > 0
+        fvi = fvi_ref[0]  # (FC, 6)
+        ax = fvi[:, 0][None, None, :]  # (1, 1, FC)
+        ay = fvi[:, 1][None, None, :]
+        bx = fvi[:, 2][None, None, :]
+        by = fvi[:, 3][None, None, :]
+        cx = fvi[:, 4][None, None, :]
+        cy = fvi[:, 5][None, None, :]
+        fvz = fvz_ref[0]  # (FC, 3)
+        az = fvz[:, 0][None, None, :]
+        bz = fvz[:, 1][None, None, :]
+        cz = fvz[:, 2][None, None, :]
+        valid = valid_ref[0][None, None, :] > 0
 
-        a_ex = ax - X  # (P, FC)
+        a_ex = ax - X  # (TH, TW, FC)
         a_ey = ay - Y
         b_ex = bx - X
         b_ey = by - Y
@@ -79,31 +87,35 @@ def _selection_kernel(mask_ref, xs_ref, ys_ref, fvz_ref, fvi_ref, valid_ref,
         ok = (w0n >= 0.) & (w1n >= 0.) & (w2n >= 0.) & valid
         z0 = jnp.where(ok, z0, -jnp.inf)
 
-        chunk_best = jnp.max(z0, axis=1)                       # (P,)
-        chunk_idx = jnp.argmax(z0, axis=1).astype(jnp.int32) + f * FC
+        chunk_best = jnp.max(z0, axis=2)                          # (TH, TW)
+        chunk_idx = jnp.argmax(z0, axis=2).astype(jnp.int32) + f * FC
 
-        cur_z = z_ref[0].reshape(TH * TW)
-        cur_idx = idx_ref[0].reshape(TH * TW)
+        cur_z = z_ref[0]
+        cur_idx = idx_ref[0]
         upd = chunk_best > cur_z
-        z_ref[0] = jnp.where(upd, chunk_best, cur_z).reshape(TH, TW)
-        idx_ref[0] = jnp.where(upd, chunk_idx, cur_idx).reshape(TH, TW)
+        z_ref[0] = jnp.where(upd, chunk_best, cur_z)
+        idx_ref[0] = jnp.where(upd, chunk_idx, cur_idx)
 
 
-@functools.partial(jax.jit, static_argnames=('height', 'width', 'eps'))
+@functools.partial(jax.jit, static_argnames=(
+    'height', 'width', 'multiplier', 'eps'))
 def selection_pallas(face_vertices_z, face_vertices_image_scaled,
-                     valid_faces, xs, ys, height, width, eps=1e-8):
+                     valid_faces, height, width, multiplier, eps=1e-8):
     """Winning-face selection on TPU.
 
     Args:
         face_vertices_z: ``(B, F, 3)``.
         face_vertices_image_scaled: ``(B, F, 3, 2)`` (multiplier applied).
         valid_faces: ``(B, F)`` bool.
-        xs: ``(W,)`` pixel-center x coords; ys: ``(H,)``.
+        height, width: image size; multiplier: coordinate scale.
 
     Returns:
         ``(B, H, W)`` int32 face index (-1 = empty).
     """
+    from kaolin_tpu.render.mesh.rasterization import pixel_coords
     B, F = face_vertices_z.shape[:2]
+    xs, ys = pixel_coords(height, width, multiplier,
+                          dtype=face_vertices_z.dtype)
     assert height % TH == 0 and width % TW == 0, \
         f"height/width must be multiples of ({TH}, {TW})"
     fpad = (-F) % FC
@@ -142,15 +154,12 @@ def selection_pallas(face_vertices_z, face_vertices_image_scaled,
 
     grid = (B, nI, nJ, nF)
     kernel = pl.pallas_call(
-        functools.partial(_selection_kernel, eps=eps),
+        functools.partial(_selection_kernel, eps=eps, height=height,
+                          width=width, multiplier=float(multiplier)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 1), lambda b, i, j, f: (b, i, j, f),
+            pl.BlockSpec((1, 1, nJ, nF), lambda b, i, j, f: (b, i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TW), lambda b, i, j, f: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TH), lambda b, i, j, f: (0, i),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, FC, 3), lambda b, i, j, f: (b, f, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, FC, 6), lambda b, i, j, f: (b, f, 0),
@@ -174,5 +183,5 @@ def selection_pallas(face_vertices_z, face_vertices_image_scaled,
             transcendentals=0,
         ),
     )
-    face_idx, _zbuf = kernel(mask, xs[None, :], ys[None, :], fvz, fvi, valid)
+    face_idx, _zbuf = kernel(mask, fvz, fvi, valid)
     return face_idx

@@ -228,7 +228,7 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
         face_idx = selection_pallas(
             jax.lax.stop_gradient(face_vertices_z),
             jax.lax.stop_gradient(fvi_scaled),
-            valid_faces, xs, ys, height, width, eps)
+            valid_faces, height, width, float(multiplier), eps)
     else:
         raise ValueError(f'"{backend}" is not a valid backend, '
                          'valid choices are ["jnp", "pallas", "auto"]')
