@@ -1,3 +1,4 @@
 from kaolin_tpu.render import camera  # noqa: F401
 from kaolin_tpu.render import lighting  # noqa: F401
 from kaolin_tpu.render import mesh  # noqa: F401
+from kaolin_tpu.render import spc  # noqa: F401

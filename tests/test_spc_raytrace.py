@@ -1,0 +1,178 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kaolin_tpu.ops import spc as spc_ops
+from kaolin_tpu.render import spc as spc_render
+
+
+def build(points, level):
+    points = np.asarray(points, dtype=np.int16)
+    octree = spc_ops.unbatched_points_to_octree(points, level)
+    lengths = np.array([len(octree)], dtype=np.int32)
+    max_level, pyramids, exsum = spc_ops.scan_octrees(octree, lengths)
+    ph = spc_ops.generate_points(octree, pyramids, exsum)
+    return octree, np.asarray(pyramids)[0], exsum, ph
+
+
+class TestPackOps:
+    def test_mark_pack_boundaries(self):
+        ids = jnp.array([1, 1, 1, 1, 2, 2, 2])
+        out = spc_render.mark_pack_boundaries(ids)
+        np.testing.assert_array_equal(
+            np.asarray(out), [True, False, False, False, True, False, False])
+
+    def test_diff(self):
+        feats = jnp.array([[1.], [3.], [6.], [10.], [2.], [5.]])
+        boundaries = jnp.array([True, False, False, False, True, False])
+        out = spc_render.diff(feats, boundaries)
+        np.testing.assert_allclose(
+            np.asarray(out)[:, 0], [2., 3., 4., 0., 3., 0.])
+
+    def test_sum_reduce(self):
+        feats = jnp.array([[1.], [2.], [3.], [4.], [5.]])
+        boundaries = jnp.array([True, False, True, False, False])
+        out = spc_render.sum_reduce(feats, boundaries)
+        np.testing.assert_allclose(np.asarray(out)[:, 0], [3., 12.])
+
+    @pytest.mark.parametrize('exclusive', [False, True])
+    @pytest.mark.parametrize('reverse', [False, True])
+    def test_cumsum_matches_numpy(self, exclusive, reverse):
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(11, 2)).astype(np.float32)
+        boundaries = np.zeros(11, dtype=bool)
+        boundaries[[0, 4, 7]] = True
+        out = spc_render.cumsum(jnp.asarray(feats), jnp.asarray(boundaries),
+                                exclusive=exclusive, reverse=reverse)
+        # numpy reference per pack
+        expected = np.zeros_like(feats)
+        packs = [(0, 4), (4, 7), (7, 11)]
+        for lo, hi in packs:
+            seg = feats[lo:hi]
+            if reverse:
+                seg = seg[::-1]
+            c = np.cumsum(seg, axis=0)
+            if exclusive:
+                c = np.concatenate([np.zeros_like(c[:1]), c[:-1]])
+            if reverse:
+                c = c[::-1]
+            expected[lo:hi] = c
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5,
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize('exclusive', [False, True])
+    @pytest.mark.parametrize('reverse', [False, True])
+    def test_cumprod_matches_numpy(self, exclusive, reverse):
+        rng = np.random.default_rng(1)
+        feats = rng.uniform(0.5, 2.0, size=(9, 1)).astype(np.float32)
+        boundaries = np.zeros(9, dtype=bool)
+        boundaries[[0, 3, 6]] = True
+        out = spc_render.cumprod(jnp.asarray(feats), jnp.asarray(boundaries),
+                                 exclusive=exclusive, reverse=reverse)
+        expected = np.zeros_like(feats)
+        for lo, hi in [(0, 3), (3, 6), (6, 9)]:
+            seg = feats[lo:hi]
+            if reverse:
+                seg = seg[::-1]
+            c = np.cumprod(seg, axis=0)
+            if exclusive:
+                c = np.concatenate([np.ones_like(c[:1]), c[:-1]])
+            if reverse:
+                c = c[::-1]
+            expected[lo:hi] = c
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)
+
+    def test_cumprod_grad_with_zeros(self):
+        # the product-rule formulation stays finite where the reference's
+        # division-based backward would produce NaN (raytrace.py:186-188)
+        feats = jnp.array([[0.5], [0.0], [2.0]])
+        boundaries = jnp.array([True, False, False])
+
+        def f(x):
+            return jnp.sum(spc_render.cumprod(x, boundaries))
+
+        g = jax.grad(f)(feats)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_exponential_integration(self):
+        tau = jnp.array([[0.5], [0.5], [1.0]])
+        feats = jnp.array([[1., 2.], [3., 4.], [5., 6.]])
+        boundaries = jnp.array([True, False, True])
+        out, transmittance = spc_render.exponential_integration(
+            feats, tau, boundaries)
+        # manual: pack0: T0 = exp(0)*(1-e^-.5), T1 = exp(-.5)*(1-e^-.5)
+        a = 1 - np.exp(-0.5)
+        t0, t1 = a, np.exp(-0.5) * a
+        t2 = 1 - np.exp(-1.)
+        np.testing.assert_allclose(
+            np.asarray(transmittance)[:, 0], [t0, t1, t2], rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out)[0], [1 * t0 + 3 * t1, 2 * t0 + 4 * t1],
+            rtol=1e-5)
+
+
+class TestRaytrace:
+    def test_single_voxel_hit_miss(self):
+        octree, pyramid, exsum, ph = build([[0, 0, 0]], 1)
+        orig = jnp.array([[-0.5, -0.5, 2.0], [0.5, 0.5, 2.0]])
+        dirs = jnp.array([[0., 0., -1.], [0., 0., -1.]])
+        ridx, pidx, depth = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 1)
+        assert np.asarray(ridx).tolist() == [0]
+        # hit voxel spans [-1,0]^3; entry at z=0 -> depth 2.0
+        np.testing.assert_allclose(np.asarray(depth)[0, 0], 2.0, rtol=1e-5)
+
+    def test_depth_ordering_along_ray(self):
+        # full level-2 grid: a ray along -z crosses 4 voxels near-to-far
+        pts = np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing='ij'),
+                       axis=-1).reshape(-1, 3)
+        octree, pyramid, exsum, ph = build(pts, 2)
+        orig = jnp.array([[-0.9, -0.9, 2.0]])
+        dirs = jnp.array([[0., 0., -1.]])
+        ridx, pidx, depth = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 2)
+        d = np.asarray(depth)[:, 0]
+        assert len(d) == 4
+        assert (np.diff(d) > 0).all()  # near-to-far
+        # voxels crossed are at x=y=0 (coords quantized from -0.9)
+        leaf_pts = np.asarray(ph)[np.asarray(pidx)]
+        np.testing.assert_array_equal(leaf_pts[:, 0], [0, 0, 0, 0])
+        np.testing.assert_array_equal(leaf_pts[:, 2], [3, 2, 1, 0])
+
+    def test_with_exit_depths(self):
+        octree, pyramid, exsum, ph = build([[0, 0, 0]], 1)
+        orig = jnp.array([[-0.5, -0.5, 2.0]])
+        dirs = jnp.array([[0., 0., -1.]])
+        ridx, pidx, depth = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 1, with_exit=True)
+        d = np.asarray(depth)
+        np.testing.assert_allclose(d[0], [2.0, 3.0], rtol=1e-5)
+
+    def test_ray_ordering_multiple_rays(self):
+        pts = np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing='ij'),
+                       axis=-1).reshape(-1, 3)
+        octree, pyramid, exsum, ph = build(pts, 2)
+        rng = np.random.default_rng(0)
+        orig = jnp.asarray(np.stack([
+            rng.uniform(-0.9, 0.9, 8), rng.uniform(-0.9, 0.9, 8),
+            np.full(8, 2.)], axis=-1).astype(np.float32))
+        dirs = jnp.asarray(np.broadcast_to(
+            np.array([0., 0., -1.], np.float32), (8, 3)).copy())
+        ridx, pidx, depth = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 2)
+        r = np.asarray(ridx)
+        # rays sorted ascending, each with 4 hits, depths ascending per ray
+        np.testing.assert_array_equal(r, np.repeat(np.arange(8), 4))
+        d = np.asarray(depth)[:, 0].reshape(8, 4)
+        assert (np.diff(d, axis=1) > 0).all()
+
+    def test_inside_origin(self):
+        # ray starting inside the voxel: final-level test requires
+        # depth > 0, so the containing voxel is skipped (CUDA parity)
+        octree, pyramid, exsum, ph = build([[0, 0, 0]], 1)
+        orig = jnp.array([[-0.5, -0.5, -0.5]])
+        dirs = jnp.array([[0., 0., -1.]])
+        ridx, pidx, depth = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 1)
+        assert np.asarray(ridx).shape[0] == 0
