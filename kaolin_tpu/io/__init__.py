@@ -1,3 +1,13 @@
+from kaolin_tpu.io import dataset  # noqa: F401
 from kaolin_tpu.io import materials  # noqa: F401
+from kaolin_tpu.io import modelnet  # noqa: F401
 from kaolin_tpu.io import obj  # noqa: F401
+from kaolin_tpu.io import off  # noqa: F401
+from kaolin_tpu.io import render  # noqa: F401
+from kaolin_tpu.io import shapenet  # noqa: F401
+from kaolin_tpu.io import shrec  # noqa: F401
 from kaolin_tpu.io import utils  # noqa: F401
+from kaolin_tpu.io.dataset import CachedDataset  # noqa: F401
+from kaolin_tpu.io.modelnet import ModelNet  # noqa: F401
+from kaolin_tpu.io.shapenet import ShapeNetV1, ShapeNetV2  # noqa: F401
+from kaolin_tpu.io.shrec import SHREC16  # noqa: F401
