@@ -6,6 +6,7 @@ from kaolin_tpu.io import off  # noqa: F401
 from kaolin_tpu.io import render  # noqa: F401
 from kaolin_tpu.io import shapenet  # noqa: F401
 from kaolin_tpu.io import shrec  # noqa: F401
+from kaolin_tpu.io import usd  # noqa: F401
 from kaolin_tpu.io import utils  # noqa: F401
 from kaolin_tpu.io.dataset import CachedDataset  # noqa: F401
 from kaolin_tpu.io.modelnet import ModelNet  # noqa: F401
