@@ -4,9 +4,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload (driver config #2): textured-mesh inverse rendering — fox.obj
 (10k faces) rendered at 512^2 with UV textures + SH lighting, gradients
-back to vertex positions, texture and lighting.  ``vs_baseline`` is the
-speedup of the best backend over the pure-XLA ('jnp') reference backend on
-the same chip (the reference publishes no absolute numbers — BASELINE.md).
+back to vertex positions, texture and lighting.
+
+The step is split into separately compiled programs (selection passes +
+differentiable grad epilogue) — the TPU-native structure used by the
+training loop itself.  ``vs_baseline`` is the speedup of the best
+selection backend over the pure-XLA 'jnp' one on the same chip (the
+reference publishes no absolute numbers — see BASELINE.md).
 """
 
 import json
@@ -19,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def build_step(backend, height, width):
+def build(backend, height, width):
     import jax
     import jax.numpy as jnp
     from kaolin_tpu.io import obj
@@ -35,36 +39,44 @@ def build_step(backend, height, width):
     target_images = jnp.zeros((1, height, width, 3))
     target_masks = jnp.zeros((1, height, width))
 
-    def loss_fn(p):
-        return M.render_loss(p, views, faces, face_uvs, target_images,
-                             target_masks, height, width, backend=backend)
+    def selection(p):
+        return M.compute_selection(p, views, faces, height, width,
+                                   backend=backend)
 
-    @jax.jit
+    grad_fn = jax.jit(jax.grad(
+        lambda p, sel: M.render_loss(
+            p, views, faces, face_uvs, target_images, target_masks,
+            height, width, selection=sel)))
+
     def step(p):
-        return jax.grad(loss_fn)(p)
+        sel = selection(p)
+        return grad_fn(p, sel)
 
     return step, params
 
 
 def timed(step, params, iters=8):
     import jax
+    t0 = time.perf_counter()
     g = step(params)           # compile + warmup
     jax.block_until_ready(g)
+    compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         g = step(params)
     jax.block_until_ready(g)
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters, compile_s
 
 
 def main():
     height = width = 512
     results = {}
+    compile_times = {}
     errors = {}
-    for backend in ('jnp', 'pallas'):
+    for backend in ('pallas', 'jnp'):
         try:
-            step, params = build_step(backend, height, width)
-            results[backend] = timed(step, params)
+            step, params = build(backend, height, width)
+            results[backend], compile_times[backend] = timed(step, params)
         except Exception as e:  # pallas may be unavailable off-TPU
             errors[backend] = f"{type(e).__name__}: {e}"
     if not results:
@@ -83,9 +95,10 @@ def main():
         "vs_baseline": round(base / best, 3),
     }
     print(json.dumps(out))
-    # extra diagnostics on stderr (driver parses stdout JSON only)
-    print(f"backend times: "
-          f"{ {k: round(v * 1e3, 2) for k, v in results.items()} } ms; "
+    print(f"step times (s): "
+          f"{ {k: round(v, 4) for k, v in results.items()} }; "
+          f"compile times (s): "
+          f"{ {k: round(v, 1) for k, v in compile_times.items()} }; "
           f"best={best_backend}; errors={errors}", file=sys.stderr)
 
 

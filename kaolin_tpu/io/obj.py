@@ -89,6 +89,19 @@ def import_mesh(path, with_materials=False, with_normals=False,
     if heterogeneous_mesh_handler is None:
         heterogeneous_mesh_handler = triangulate_handler
 
+    # fast path: native C++ tokenizer (csrc/obj_parser.cpp) when no
+    # material bookkeeping is needed
+    if not with_materials:
+        from kaolin_tpu import _native
+        parsed = None
+        try:
+            parsed = _native.parse_obj(path)
+        except Exception:
+            parsed = None
+        if parsed is not None:
+            return _mesh_from_native(parsed, with_normals,
+                                     heterogeneous_mesh_handler, path)
+
     vertices = []
     faces = []
     uvs = []
@@ -242,6 +255,66 @@ def import_mesh(path, with_materials=False, with_normals=False,
     if material_assignments is not None:
         kwargs['material_assignments'] = jnp.asarray(material_assignments)
     return SurfaceMesh(materials=materials, batching=SurfaceMesh.Batching.NONE,
+                       strict_checks=False, **kwargs)
+
+
+def _mesh_from_native(parsed, with_normals, heterogeneous_mesh_handler,
+                      path):
+    """Assemble a SurfaceMesh from the native tokenizer's raw output."""
+    vertices = parsed['vertices']
+    uvs = parsed['uvs'] if parsed['uvs'].size else None
+    normals = parsed['normals'] if parsed['normals'].size else None
+    counts = parsed['face_counts']
+
+    def fix(flat, count):
+        return np.where(flat < 0, flat + count, flat - 1)
+
+    flat_faces = fix(parsed['face_v'], len(vertices))
+    has_uv = uvs is not None and (parsed['face_vt'] != 0).any()
+    has_n = (with_normals and normals is not None
+             and (parsed['face_vn'] != 0).any())
+    flat_uvs_idx = fix(parsed['face_vt'], len(uvs)) if has_uv else None
+    flat_normals_idx = fix(parsed['face_vn'],
+                           len(normals)) if has_n else None
+
+    is_heterogeneous = counts.size > 0 and not (counts == counts[0]).all()
+    if is_heterogeneous or (counts.size and counts[0] != 3
+                            and heterogeneous_mesh_handler is not None):
+        if heterogeneous_mesh_handler is None:
+            raise NonHomogeneousMeshError(
+                f"Mesh at {path} is non-homogeneous and no "
+                f"heterogeneous_mesh_handler was provided")
+        features = [flat_faces]
+        if flat_uvs_idx is not None:
+            features.append(flat_uvs_idx)
+        if flat_normals_idx is not None:
+            features.append(flat_normals_idx)
+        result = heterogeneous_mesh_handler(vertices, counts, *features)
+        if result is None:
+            return None
+        vertices, counts = result[0], result[1]
+        flat_faces = np.asarray(result[2]).reshape(-1)
+        cur = 3
+        if flat_uvs_idx is not None:
+            flat_uvs_idx = np.asarray(result[cur]).reshape(-1)
+            cur += 1
+        if flat_normals_idx is not None:
+            flat_normals_idx = np.asarray(result[cur]).reshape(-1)
+    fsize = int(counts[0]) if counts.size else 3
+    kwargs = dict(
+        vertices=jnp.asarray(vertices),
+        faces=jnp.asarray(flat_faces.reshape(-1, fsize)))
+    if uvs is not None:
+        kwargs['uvs'] = jnp.asarray(uvs)
+        if flat_uvs_idx is not None:
+            kwargs['face_uvs_idx'] = jnp.asarray(
+                flat_uvs_idx.reshape(-1, fsize))
+    if with_normals and normals is not None:
+        kwargs['normals'] = jnp.asarray(normals)
+        if flat_normals_idx is not None:
+            kwargs['face_normals_idx'] = jnp.asarray(
+                flat_normals_idx.reshape(-1, fsize))
+    return SurfaceMesh(batching=SurfaceMesh.Batching.NONE,
                        strict_checks=False, **kwargs)
 
 

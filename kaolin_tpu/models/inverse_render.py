@@ -19,7 +19,8 @@ from kaolin_tpu.render import camera as camera_fns
 from kaolin_tpu.render import mesh as mesh_render
 
 __all__ = ['InverseRenderParams', 'CameraViews', 'make_views',
-           'render_views', 'render_loss', 'init_params']
+           'render_views', 'render_loss', 'init_params',
+           'compute_selection']
 
 
 class InverseRenderParams(NamedTuple):
@@ -65,9 +66,41 @@ def make_views(num_views, distance=2.0, fovy=math.pi / 4., elevation=0.4):
     return CameraViews(rot, trans, proj)
 
 
+def _prepare(params, views, faces):
+    """Camera transform + projection + face indexing (differentiable)."""
+    B = views.camera_rot.shape[0]
+    vertices = jnp.broadcast_to(params.vertices[None],
+                                (B,) + params.vertices.shape)
+    return mesh_render.prepare_vertices(
+        vertices, faces, views.camera_proj,
+        camera_rot=views.camera_rot, camera_trans=views.camera_trans)
+
+
+def compute_selection(params: InverseRenderParams, views: CameraViews,
+                      faces, height, width, backend='auto', boxlen=0.02,
+                      knum=30):
+    """Run both non-differentiable selection passes (z-buffer + soft-mask
+    k-buffer) as standalone compiled programs.
+
+    Keeping these out of the training-step jit keeps each XLA program
+    small (fast [re]compiles) and lets the selection result be reused.
+
+    Returns:
+        (face_idx (B, H, W), kbuf (B, H, W, knum)).
+    """
+    face_vertices_camera, face_vertices_image, face_normals = \
+        jax.lax.stop_gradient(_prepare(params, views, faces))
+    face_idx = mesh_render.rasterize_selection(
+        height, width, face_vertices_camera[..., 2], face_vertices_image,
+        valid_faces=face_normals[..., 2] >= 0., backend=backend)
+    kbuf = mesh_render.dibr_soft_mask_select(
+        face_vertices_image, face_idx, boxlen=boxlen, knum=knum)
+    return face_idx, kbuf
+
+
 def render_views(params: InverseRenderParams, views: CameraViews, faces,
                  face_uvs, height, width, backend='auto', sigmainv=7000.,
-                 with_soft_mask=True):
+                 with_soft_mask=True, selection=None):
     """Render all views: textured DIB-R + SH lighting.
 
     Mirrors the reference DIB-R tutorial pipeline (call stack SURVEY.md
@@ -85,20 +118,18 @@ def render_views(params: InverseRenderParams, views: CameraViews, faces,
         (images (B, H, W, 3), soft_mask (B, H, W), face_idx (B, H, W)).
     """
     B = views.camera_rot.shape[0]
-    vertices = jnp.broadcast_to(params.vertices[None],
-                                (B,) + params.vertices.shape)
     face_vertices_camera, face_vertices_image, face_normals = \
-        mesh_render.prepare_vertices(
-            vertices, faces, views.camera_proj,
-            camera_rot=views.camera_rot, camera_trans=views.camera_trans)
+        _prepare(params, views, faces)
     face_uvs_b = jnp.broadcast_to(face_uvs[None], (B,) + face_uvs.shape)
     face_normals_corner = jnp.broadcast_to(
         face_normals[:, :, None, :],
         face_normals.shape[:2] + (3, 3))
+    precomputed_face_idx = None if selection is None else selection[0]
     (uv_map, normal_map), face_idx = mesh_render.rasterize(
         height, width, face_vertices_camera[..., 2],
         face_vertices_image, [face_uvs_b, face_normals_corner],
-        valid_faces=face_normals[..., 2] >= 0., backend=backend)
+        valid_faces=face_normals[..., 2] >= 0., backend=backend,
+        precomputed_face_idx=precomputed_face_idx)
     texture = jnp.broadcast_to(params.texture_map[None],
                                (B,) + params.texture_map.shape)
     albedo = mesh_render.texture_mapping(uv_map, texture, mode='bilinear')
@@ -109,19 +140,21 @@ def render_views(params: InverseRenderParams, views: CameraViews, faces,
     images = jnp.where((face_idx >= 0)[..., None], images, 0.)
     if with_soft_mask:
         soft_mask = mesh_render.dibr_soft_mask(
-            face_vertices_image, face_idx, sigmainv=sigmainv)
+            face_vertices_image, face_idx, sigmainv=sigmainv,
+            kbuf=None if selection is None else selection[1])
     else:
         soft_mask = (face_idx >= 0).astype(images.dtype)
     return images, soft_mask, face_idx
 
 
 def render_loss(params, views, faces, face_uvs, target_images, target_masks,
-                height, width, backend='auto', with_soft_mask=True):
+                height, width, backend='auto', with_soft_mask=True,
+                selection=None):
     """Image L1 + silhouette IoU loss (the reference tutorials' loss)."""
     from kaolin_tpu.metrics.render import mask_iou
     images, soft_mask, _ = render_views(
         params, views, faces, face_uvs, height, width, backend=backend,
-        with_soft_mask=with_soft_mask)
+        with_soft_mask=with_soft_mask, selection=selection)
     image_loss = jnp.mean(jnp.abs(images - target_images))
     mask_loss = mask_iou(soft_mask, target_masks)
     return image_loss + mask_loss

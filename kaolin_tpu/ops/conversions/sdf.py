@@ -19,8 +19,30 @@ def _eval_sdf(sdf_fn, pts_np, bbox_center, bbox_dim):
     return np.asarray(vals)
 
 
+def _unbatched_sdf_to_voxelgrid_native(sdf_fn, bbox_center, bbox_dim,
+                                       init_res, upsampling_steps):
+    """Drive the native C++ MISE octree (csrc/mise.cpp)."""
+    from kaolin_tpu._native import Mise
+    m = Mise(init_res, upsampling_steps)
+    while True:
+        pts = m.query()
+        if pts.shape[0] == 0:
+            if not m.refine():
+                break
+            continue
+        vals = _eval_sdf(sdf_fn, pts / m.final_resolution, bbox_center,
+                         bbox_dim)
+        m.update((vals <= 0).astype(np.uint8))
+    return m.to_dense().astype(np.float32)
+
+
 def _unbatched_sdf_to_voxelgrid(sdf_fn, bbox_center, bbox_dim, init_res,
                                 upsampling_steps):
+    try:
+        return _unbatched_sdf_to_voxelgrid_native(
+            sdf_fn, bbox_center, bbox_dim, init_res, upsampling_steps)
+    except Exception:
+        pass
     final_res = init_res * (2 ** upsampling_steps)
     # evaluate coarse grid points (res+1 per side, normalized [0, 1])
     res = init_res

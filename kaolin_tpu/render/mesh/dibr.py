@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from kaolin_tpu.render.mesh.rasterization import pixel_coords, rasterize
 
-__all__ = ['dibr_soft_mask', 'dibr_rasterization']
+__all__ = ['dibr_soft_mask', 'dibr_soft_mask_select',
+           'dibr_rasterization']
 
 _EPS = 1e-7  # reference dibr_soft_mask_cuda.cu:23
 
@@ -125,8 +126,32 @@ def _face_min_sqdist(fv, x0, y0, multiplier):
     return jnp.min(jnp.stack(dists, axis=-1), axis=-1)
 
 
+def dibr_soft_mask_select(face_vertices_image, selected_face_idx,
+                          boxlen=0.02, knum=30, multiplier=1000.):
+    """Run only the (non-differentiable) k-buffer selection of the soft
+    mask: the first ``knum`` faces whose enlarged bbox covers each empty
+    pixel.  Feed the result to :func:`dibr_soft_mask` via ``kbuf=``.
+
+    Returns:
+        ``(B, H, W, knum)`` int32 face indices (-1 padded).
+    """
+    B, H, W = selected_face_idx.shape
+    fvi_scaled = face_vertices_image * multiplier
+    pts_min = jnp.min(fvi_scaled, axis=-2)
+    pts_max = jnp.max(fvi_scaled, axis=-2)
+    bboxes = jnp.concatenate([pts_min - boxlen * multiplier,
+                              pts_max + boxlen * multiplier], axis=-1)
+    xs, ys = pixel_coords(H, W, multiplier,
+                          dtype=face_vertices_image.dtype)
+    empty = selected_face_idx < 0
+    kbuf = jax.vmap(lambda bb, em: _soft_mask_select(
+        bb, em, xs, ys, height=H, width=W, knum=knum))(
+            jax.lax.stop_gradient(bboxes), empty)
+    return jax.lax.stop_gradient(kbuf)
+
+
 def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
-                   boxlen=0.02, knum=30, multiplier=1000.):
+                   boxlen=0.02, knum=30, multiplier=1000., kbuf=None):
     """Differentiable soft silhouette mask.
 
     Parity: ``kaolin/render/mesh/dibr.py:75``.
@@ -146,17 +171,14 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
     """
     B, H, W = selected_face_idx.shape
     fvi_scaled = face_vertices_image * multiplier
-    pts_min = jnp.min(fvi_scaled, axis=-2)
-    pts_max = jnp.max(fvi_scaled, axis=-2)
-    bboxes = jnp.concatenate([pts_min - boxlen * multiplier,
-                              pts_max + boxlen * multiplier], axis=-1)
     xs, ys = pixel_coords(H, W, multiplier,
                           dtype=face_vertices_image.dtype)
     empty = selected_face_idx < 0
 
-    kbuf = jax.vmap(lambda bb, em: _soft_mask_select(
-        bb, em, xs, ys, height=H, width=W, knum=knum))(
-            jax.lax.stop_gradient(bboxes), empty)
+    if kbuf is None:
+        kbuf = dibr_soft_mask_select(face_vertices_image,
+                                     selected_face_idx, boxlen, knum,
+                                     multiplier)
     kbuf = jax.lax.stop_gradient(kbuf)  # (B, H, W, knum)
 
     def epilogue(fvi_b, kbuf_b, empty_b):

@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['rasterize']
+__all__ = ['rasterize', 'rasterize_selection']
 
 
 def pixel_coords(height, width, multiplier, dtype=jnp.float32):
@@ -169,9 +169,53 @@ def _interpolate_selected(face_idx, face_vertices_image_scaled, face_features,
     return feats, weights
 
 
+def rasterize_selection(height, width, face_vertices_z, face_vertices_image,
+                        valid_faces=None, multiplier=None, eps=None,
+                        backend='auto'):
+    """Run only the (non-differentiable) z-buffer selection pass.
+
+    Useful to keep the selection in its own compiled program (its
+    pixel x face sweep dominates compile and run time) and feed the
+    result back into :func:`rasterize` via ``precomputed_face_idx``.
+
+    Returns:
+        ``(B, H, W)`` int32 winning-face indices (-1 = background).
+    """
+    if multiplier is None:
+        multiplier = 1000
+    if eps is None:
+        eps = 1e-8
+    B, F = face_vertices_z.shape[:2]
+    if valid_faces is None:
+        valid_faces = jnp.ones((B, F), dtype=bool)
+    if backend == 'auto':
+        backend = ('pallas' if jax.default_backend() == 'tpu' else 'jnp')
+    fvi_scaled = face_vertices_image * multiplier
+    xs, ys = pixel_coords(height, width, multiplier,
+                          dtype=face_vertices_z.dtype)
+    if backend == 'jnp':
+        select = jax.vmap(lambda z, i, v: _selection_jnp(
+            z, i, v, xs, ys, height=height, width=width, eps=eps))
+        face_idx = select(
+            jax.lax.stop_gradient(face_vertices_z),
+            jax.lax.stop_gradient(fvi_scaled), valid_faces)
+    elif backend == 'pallas':
+        from kaolin_tpu.render.mesh._rasterize_pallas import (
+            selection_pallas)
+        face_idx = selection_pallas(
+            jax.lax.stop_gradient(face_vertices_z),
+            jax.lax.stop_gradient(fvi_scaled),
+            valid_faces, height, width, float(multiplier), eps)
+    else:
+        raise ValueError(f'"{backend}" is not a valid backend, '
+                         'valid choices are ["jnp", "pallas", "auto"]')
+    return jax.lax.stop_gradient(face_idx)
+
+
 def rasterize(height, width, face_vertices_z, face_vertices_image,
               face_features, valid_faces=None, multiplier=None, eps=None,
-              backend='auto', with_weights=False):
+              backend='auto', with_weights=False,
+              precomputed_face_idx=None):
     """Differentiable rasterization of triangle meshes to feature images.
 
     Parity: ``kaolin/render/mesh/rasterization.py:390`` (the 'cuda' backend;
@@ -204,35 +248,17 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
     is_list = isinstance(face_features, (list, tuple))
     features = (jnp.concatenate(face_features, axis=-1) if is_list
                 else face_features)
-    B, F = face_vertices_z.shape[:2]
-    if valid_faces is None:
-        valid_faces = jnp.ones((B, F), dtype=bool)
-
-    if backend == 'auto':
-        backend = ('pallas' if jax.default_backend() == 'tpu' else 'jnp')
 
     fvi_scaled = face_vertices_image * multiplier
     xs, ys = pixel_coords(height, width, multiplier,
                           dtype=face_vertices_z.dtype)
 
-    if backend == 'jnp':
-        select = jax.vmap(lambda z, i, v: _selection_jnp(
-            z, i, v, xs, ys, height=height, width=width, eps=eps))
-        face_idx = select(
-            jax.lax.stop_gradient(face_vertices_z),
-            jax.lax.stop_gradient(fvi_scaled),
-            valid_faces)
-    elif backend == 'pallas':
-        from kaolin_tpu.render.mesh._rasterize_pallas import (
-            selection_pallas)
-        face_idx = selection_pallas(
-            jax.lax.stop_gradient(face_vertices_z),
-            jax.lax.stop_gradient(fvi_scaled),
-            valid_faces, height, width, float(multiplier), eps)
+    if precomputed_face_idx is not None:
+        face_idx = jax.lax.stop_gradient(precomputed_face_idx)
     else:
-        raise ValueError(f'"{backend}" is not a valid backend, '
-                         'valid choices are ["jnp", "pallas", "auto"]')
-    face_idx = jax.lax.stop_gradient(face_idx)
+        face_idx = rasterize_selection(
+            height, width, face_vertices_z, face_vertices_image,
+            valid_faces, multiplier, eps, backend)
 
     image_features, weights = jax.vmap(
         lambda fi, fv, ff: _interpolate_selected(fi, fv, ff, xs, ys, eps)

@@ -1,0 +1,92 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: the TPU-native equivalent of the reference's missing
+distributed layer, exercised without pods)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kaolin_tpu.parallel import (make_mesh, multi_view_grad, replicate,
+                                 shard_views)
+
+
+@pytest.fixture
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    return jax.devices()[:8]
+
+
+def test_make_mesh_shapes(eight_devices):
+    mesh = make_mesh((8,), ('data',))
+    assert mesh.shape == {'data': 8}
+    mesh2d = make_mesh((4, 2), ('data', 'tile'))
+    assert mesh2d.shape == {'data': 4, 'tile': 2}
+
+
+def test_multi_view_grad_matches_single_device(eight_devices):
+    mesh = make_mesh((8,), ('data',))
+    rng = np.random.default_rng(0)
+    params = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    views = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+
+    def loss_fn(p, v):
+        # per-shard loss: sum over local views (psum makes it global)
+        return jnp.sum((v @ p.T) ** 2) / 16.
+
+    grad_fn = multi_view_grad(loss_fn, mesh)
+    sharded_views = shard_views(mesh, views)
+    rep_params = replicate(mesh, params)
+    loss, grads = grad_fn(rep_params, sharded_views)
+
+    expected_loss, expected_grads = jax.value_and_grad(loss_fn)(
+        params, views)
+    np.testing.assert_allclose(float(loss), float(expected_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(expected_grads),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_dibr_render_matches_single(eight_devices):
+    """Views sharded over the mesh produce the same images as unsharded
+    (spatial DP of the renderer — driver config #5 miniature)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from kaolin_tpu.models import inverse_render as M
+    from kaolin_tpu.io import obj
+
+    mesh = make_mesh((8,), ('data',))
+    m = obj.import_mesh('/root/reference/sample_data/meshes/ico_smooth.obj',
+                        triangulate=True)
+    faces = jnp.asarray(np.asarray(m.faces))
+    face_uvs = jnp.asarray(np.asarray(m.uvs)[np.asarray(m.face_uvs_idx)])
+    params = M.init_params(m, texture_res=16)
+    views = M.make_views(8)
+    H = W = 16
+
+    def render_local(p, rot, trans):
+        v = M.CameraViews(rot, trans, views.camera_proj)
+        images, soft, fidx = M.render_views(
+            p, v, faces, face_uvs, H, W, backend='jnp',
+            with_soft_mask=False)
+        return images
+
+    sharded = shard_map(
+        render_local, mesh=mesh,
+        in_specs=(P(), P('data'), P('data')),
+        out_specs=P('data'), check_rep=False)
+    imgs_sharded = sharded(params, views.camera_rot, views.camera_trans)
+    imgs_single = render_local(params, views.camera_rot,
+                               views.camera_trans)
+    np.testing.assert_allclose(np.asarray(imgs_sharded),
+                               np.asarray(imgs_single), atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import importlib
+    import __graft_entry__ as g
+    importlib.reload(g)
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (2, 64, 64, 3)
+    g.dryrun_multichip(4)
