@@ -52,12 +52,31 @@ def build(backend, height, width):
         sel = selection(p)
         return grad_fn(p, sel)
 
+    def warmup(p):
+        """Compile each phase separately, logging progress to stderr."""
+        import jax
+        t0 = time.perf_counter()
+        fi, kb = selection(p)
+        jax.block_until_ready((fi, kb))
+        print(f'[bench] {backend} selection compiled+ran in '
+              f'{time.perf_counter() - t0:.1f}s', file=sys.stderr,
+              flush=True)
+        t0 = time.perf_counter()
+        g = grad_fn(p, (fi, kb))
+        jax.block_until_ready(g)
+        print(f'[bench] grad epilogue compiled+ran in '
+              f'{time.perf_counter() - t0:.1f}s', file=sys.stderr,
+              flush=True)
+
+    step.warmup = warmup
     return step, params
 
 
 def timed(step, params, iters=8):
     import jax
     t0 = time.perf_counter()
+    if hasattr(step, 'warmup'):
+        step.warmup(params)
     g = step(params)           # compile + warmup
     jax.block_until_ready(g)
     compile_s = time.perf_counter() - t0
@@ -73,7 +92,9 @@ def main():
     results = {}
     compile_times = {}
     errors = {}
-    for backend in ('pallas', 'jnp'):
+    backends = ('jnp', 'pallas') if os.environ.get(
+        'KAOLIN_TPU_BENCH_PALLAS') else ('jnp',)
+    for backend in backends:
         try:
             step, params = build(backend, height, width)
             results[backend], compile_times[backend] = timed(step, params)
