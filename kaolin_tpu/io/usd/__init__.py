@@ -5,6 +5,8 @@ from kaolin_tpu.io.usd.mesh import (  # noqa: F401
 from kaolin_tpu.io.usd.pointcloud import (  # noqa: F401
     import_pointcloud, import_pointclouds, add_pointcloud,
     export_pointcloud, export_pointclouds)
+from kaolin_tpu.io.usd.materials import (  # noqa: F401
+    export_material, import_material)
 from kaolin_tpu.io.usd.voxelgrid import (  # noqa: F401
     import_voxelgrid, import_voxelgrids, add_voxelgrid,
     export_voxelgrid, export_voxelgrids)
