@@ -54,7 +54,49 @@ def _crossings(points, v0, v1, v2):
     return jnp.sum(hit.astype(jnp.int32), axis=1)
 
 
-def check_sign(verts, faces, points, hash_resolution=512, chunk_size=2048):
+def _check_sign_hash(verts, faces, points, hash_resolution):
+    """Host path using the native 2D triangle hash (csrc/triangle_hash.cpp),
+    mirroring the reference CPU implementation
+    (``check_sign.py:160-297`` + ``triangle_hash.pyx``)."""
+    from kaolin_tpu._native import TriangleHash
+    verts = np.asarray(verts)
+    faces_np = np.asarray(faces)
+    points = np.asarray(points)
+    out = np.zeros(points.shape[:2], dtype=bool)
+    for b in range(verts.shape[0]):
+        tris = verts[b][faces_np]  # (F, 3, 3)
+        th = TriangleHash(tris[:, :, :2].astype(np.float64),
+                          hash_resolution)
+        pidx, tidx = th.query(points[b][:, :2].astype(np.float64))
+        if pidx.size == 0:
+            continue
+        # candidate pairs: exact 2D containment + z-crossing parity
+        t = tris[tidx]
+        p = points[b][pidx]
+        v0, v1, v2 = t[:, 0], t[:, 1], t[:, 2]
+        e01 = ((v1[:, 0] - v0[:, 0]) * (p[:, 1] - v0[:, 1])
+               - (v1[:, 1] - v0[:, 1]) * (p[:, 0] - v0[:, 0]))
+        e12 = ((v2[:, 0] - v1[:, 0]) * (p[:, 1] - v1[:, 1])
+               - (v2[:, 1] - v1[:, 1]) * (p[:, 0] - v1[:, 0]))
+        e20 = ((v0[:, 0] - v2[:, 0]) * (p[:, 1] - v2[:, 1])
+               - (v0[:, 1] - v2[:, 1]) * (p[:, 0] - v2[:, 0]))
+        area2 = ((v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1])
+                 - (v1[:, 1] - v0[:, 1]) * (v2[:, 0] - v0[:, 0]))
+        s = np.sign(area2)
+        inside = (e01 * s > 0) & (e12 * s > 0) & (e20 * s > 0) \
+            & (area2 != 0)
+        denom = np.where(area2 == 0, 1., area2)
+        z_at = (e12 * t[:, 0, 2] + e20 * t[:, 1, 2]
+                + e01 * t[:, 2, 2]) / denom
+        hit = inside & (z_at > p[:, 2])
+        counts = np.zeros(points.shape[1], dtype=np.int64)
+        np.add.at(counts, pidx[hit], 1)
+        out[b] = counts % 2 == 1
+    return jnp.asarray(out)
+
+
+def check_sign(verts, faces, points, hash_resolution=512, chunk_size=2048,
+               use_hash=False):
     """Check whether points are inside watertight triangle meshes.
 
     Parity: ``kaolin/ops/mesh/check_sign.py:61``.  ``hash_resolution`` is
@@ -73,6 +115,11 @@ def check_sign(verts, faces, points, hash_resolution=512, chunk_size=2048):
         raise ValueError(f"verts must be (B, V, 3), got {verts.shape}")
     if points.ndim != 3 or points.shape[-1] != 3:
         raise ValueError(f"points must be (B, P, 3), got {points.shape}")
+    if use_hash:
+        try:
+            return _check_sign_hash(verts, faces, points, hash_resolution)
+        except Exception:
+            pass  # fall through to the vectorized path
     faces = jnp.asarray(faces)
     P = points.shape[1]
     pad = (-P) % chunk_size
