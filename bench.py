@@ -39,9 +39,10 @@ def build(backend, height, width):
     target_images = jnp.zeros((1, height, width, 3))
     target_masks = jnp.zeros((1, height, width))
 
-    def selection(p):
-        return M.compute_selection(p, views, faces, height, width,
-                                   backend=backend)
+    # each phase is ONE jitted program: eager ops would round-trip
+    # through the TPU tunnel per op
+    selection = jax.jit(lambda p: M.compute_selection(
+        p, views, faces, height, width, backend=backend))
 
     grad_fn = jax.jit(jax.grad(
         lambda p, sel: M.render_loss(

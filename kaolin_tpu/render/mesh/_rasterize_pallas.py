@@ -10,9 +10,9 @@ Kernel layout:
   chunk axis is innermost, so the output tile (face index + z-buffer)
   stays resident in VMEM and accumulates across chunks — the classic
   matmul-k-loop pattern.
-* each step evaluates all (TH*TW pixels x FC faces) edge functions as one
-  (P, FC) vector op block on the VPU — the CUDA kernel's per-thread loop
-  becomes a 2D outer product.
+* compute stays strictly 2D for Mosaic friendliness: each of the TH pixel
+  rows is an unrolled step evaluating (TW pixels x FC faces) edge
+  functions as one (128, 128) VPU block.
 * a host-side (XLA) binning pass computes a per-(tile, chunk) overlap mask
   from face bboxes; the kernel skips culled chunks with ``@pl.when``
   (the shared-memory bbox tiling of the CUDA kernel, lifted to tile
@@ -29,9 +29,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH = 8     # pixel tile height
-TW = 128   # pixel tile width
-FC = 128   # faces per chunk (lane dim of the (TH, TW, FC) compute block)
+TH = 8     # pixel tile height (rows, unrolled in-kernel)
+TW = 128   # pixel tile width (lanes)
+FC = 128   # faces per chunk (lanes of the (TW, FC) compute block)
 
 
 def _selection_kernel(mask_ref, fvz_ref, fvi_ref, valid_ref,
@@ -45,56 +45,57 @@ def _selection_kernel(mask_ref, fvz_ref, fvi_ref, valid_ref,
 
     @pl.when(mask_ref[0, 0, pl.program_id(2), f] != 0)
     def _body():
-        # pixel-center coords (rasterization_cuda.cu:85-86), computed from
-        # the tile position: x = m/W*(2*wi+1-W), y = m/H*(H-2*hi-1)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        wi = (j * TW + jax.lax.broadcasted_iota(
-            jnp.int32, (TH, TW, 1), 1)).astype(jnp.float32)
-        hi = (i * TH + jax.lax.broadcasted_iota(
-            jnp.int32, (TH, TW, 1), 0)).astype(jnp.float32)
-        X = (multiplier / width) * (2. * wi + 1. - width)    # (TH, TW, 1)
-        Y = (multiplier / height) * (height - 2. * hi - 1.)
-
         fvi = fvi_ref[0]  # (FC, 6)
-        ax = fvi[:, 0][None, None, :]  # (1, 1, FC)
-        ay = fvi[:, 1][None, None, :]
-        bx = fvi[:, 2][None, None, :]
-        by = fvi[:, 3][None, None, :]
-        cx = fvi[:, 4][None, None, :]
-        cy = fvi[:, 5][None, None, :]
+        ax = fvi[:, 0][None, :]  # (1, FC)
+        ay = fvi[:, 1][None, :]
+        bx = fvi[:, 2][None, :]
+        by = fvi[:, 3][None, :]
+        cx = fvi[:, 4][None, :]
+        cy = fvi[:, 5][None, :]
         fvz = fvz_ref[0]  # (FC, 3)
-        az = fvz[:, 0][None, None, :]
-        bz = fvz[:, 1][None, None, :]
-        cz = fvz[:, 2][None, None, :]
-        valid = valid_ref[0][None, None, :] > 0
+        az = fvz[:, 0][None, :]
+        bz = fvz[:, 1][None, :]
+        cz = fvz[:, 2][None, :]
+        valid = valid_ref[0][None, :] > 0  # (1, FC)
 
-        a_ex = ax - X  # (TH, TW, FC)
-        a_ey = ay - Y
-        b_ex = bx - X
-        b_ey = by - Y
-        c_ex = cx - X
-        c_ey = cy - Y
-        w0 = b_ex * c_ey - b_ey * c_ex
-        w1 = c_ex * a_ey - c_ey * a_ex
-        w2 = a_ex * b_ey - a_ey * b_ex
-        norm = w0 + w1 + w2
-        norm = norm + jnp.copysign(eps, norm)
-        w0n = w0 / norm
-        w1n = w1 / norm
-        w2n = w2 / norm
-        z0 = w0n * az + w1n * bz + w2n * cz
-        ok = (w0n >= 0.) & (w1n >= 0.) & (w2n >= 0.) & valid
-        z0 = jnp.where(ok, z0, -jnp.inf)
+        # pixel-center x coords for this tile column
+        # (rasterization_cuda.cu:85-86)
+        wi = (j * TW + jax.lax.broadcasted_iota(
+            jnp.int32, (TW, 1), 0)).astype(jnp.float32)
+        X = (multiplier / width) * (2. * wi + 1. - width)  # (TW, 1)
 
-        chunk_best = jnp.max(z0, axis=2)                          # (TH, TW)
-        chunk_idx = jnp.argmax(z0, axis=2).astype(jnp.int32) + f * FC
+        for r in range(TH):  # unrolled pixel rows
+            hi = (i * TH + r)
+            Y = (multiplier / height) * (height - 2. * hi - 1.)  # scalar
 
-        cur_z = z_ref[0]
-        cur_idx = idx_ref[0]
-        upd = chunk_best > cur_z
-        z_ref[0] = jnp.where(upd, chunk_best, cur_z)
-        idx_ref[0] = jnp.where(upd, chunk_idx, cur_idx)
+            a_ex = ax - X  # (TW, FC)
+            a_ey = ay - Y
+            b_ex = bx - X
+            b_ey = by - Y
+            c_ex = cx - X
+            c_ey = cy - Y
+            w0 = b_ex * c_ey - b_ey * c_ex
+            w1 = c_ex * a_ey - c_ey * a_ex
+            w2 = a_ex * b_ey - a_ey * b_ex
+            norm = w0 + w1 + w2
+            norm = norm + jnp.where(norm >= 0., eps, -eps)
+            w0n = w0 / norm
+            w1n = w1 / norm
+            w2n = w2 / norm
+            z0 = w0n * az + w1n * bz + w2n * cz
+            ok = (w0n >= 0.) & (w1n >= 0.) & (w2n >= 0.) & valid
+            z0 = jnp.where(ok, z0, -jnp.inf)
+
+            chunk_best = jnp.max(z0, axis=1)                     # (TW,)
+            chunk_idx = jnp.argmax(z0, axis=1).astype(jnp.int32) + f * FC
+
+            cur_z = z_ref[0, r, :]
+            cur_idx = idx_ref[0, r, :]
+            upd = chunk_best > cur_z
+            z_ref[0, r, :] = jnp.where(upd, chunk_best, cur_z)
+            idx_ref[0, r, :] = jnp.where(upd, chunk_idx, cur_idx)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -46,8 +46,11 @@ def _deftet_select(pixel_coords, render_ranges, face_vertices_z,
     face_min = jnp.min(fvi, axis=1)  # (F, 2)
     face_max = jnp.max(fvi, axis=1)
 
-    def face_step(i, carry):
-        kbuf, count = carry
+    # first-k-by-face-order as a running top_k merge (vectorized sort;
+    # scatters would lower to serial loops on TPU)
+    F_cap = F + fpad + 1
+
+    def face_step(i, best_keys):
         lo = i * face_chunk
         fvi_c = jax.lax.dynamic_slice_in_dim(fvi, lo, face_chunk)
         fvz_c = jax.lax.dynamic_slice_in_dim(fvz, lo, face_chunk)
@@ -77,23 +80,15 @@ def _deftet_select(pixel_coords, render_ranges, face_vertices_z,
         in_range = (depth > zmin) & (depth < zmax)
         covered = in_bbox & inside & in_range  # (P, fc)
 
-        rank = count[:, None] + jnp.cumsum(
-            covered.astype(jnp.int32), axis=1) - 1
-        keep = covered & (rank < knum)
-        rows = jnp.broadcast_to(jnp.arange(P)[:, None], covered.shape)
-        cols = jnp.where(keep, rank, knum)
-        fids = jnp.broadcast_to((jnp.arange(face_chunk) + lo)[None],
-                                covered.shape).astype(jnp.int32)
-        kbuf = kbuf.at[rows, cols].set(fids, mode='drop',
-                                       unique_indices=True)
-        count = jnp.minimum(
-            count + jnp.sum(covered.astype(jnp.int32), axis=1), knum)
-        return kbuf, count
+        fids = (jnp.arange(face_chunk, dtype=jnp.int32) + lo)[None, :]
+        keys = jnp.where(covered, F_cap - fids, 0)
+        merged = jnp.concatenate([best_keys, keys], axis=1)
+        best_keys, _ = jax.lax.top_k(merged, knum)
+        return best_keys
 
-    kbuf0 = jnp.full((P, knum), -1, dtype=jnp.int32)
-    count0 = jnp.zeros((P,), dtype=jnp.int32)
-    kbuf, _ = jax.lax.fori_loop(0, num_fchunks, face_step, (kbuf0, count0))
-    return kbuf
+    best0 = jnp.zeros((P, knum), dtype=jnp.int32)
+    best = jax.lax.fori_loop(0, num_fchunks, face_step, best0)
+    return jnp.where(best > 0, F_cap - best, -1)
 
 
 def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,

@@ -61,37 +61,31 @@ def _soft_mask_select(face_bboxes, empty_pixel, xs, ys, height, width, knum,
         [px, py, empty.astype(px.dtype)], axis=-1
     ).reshape(-1, pixel_chunk, 3)
 
+    # first-k-by-face-order as a running top_k merge: key = F_cap - fid
+    # for covered faces (so larger key = smaller face id), 0 = invalid.
+    # top_k is a vectorized sort on TPU — scatters would lower to serial
+    # loops.
+    F_cap = F + fpad + 1
+
     def pixel_block(c):
         x0, y0 = c[:, 0:1], c[:, 1:2]  # (pc, 1)
         is_empty = c[:, 2] > 0.5
 
-        def face_step(i, carry):
-            kbuf, count = carry
+        def face_step(i, best_keys):
             lo = i * face_chunk
             bb = jax.lax.dynamic_slice_in_dim(bboxes, lo, face_chunk)
             covered = ((x0 >= bb[:, 0][None]) & (x0 < bb[:, 2][None])
                        & (y0 >= bb[:, 1][None]) & (y0 < bb[:, 3][None]))
             covered = covered & is_empty[:, None]  # (pc, fc)
-            rank = count[:, None] + jnp.cumsum(
-                covered.astype(jnp.int32), axis=1) - 1
-            keep = covered & (rank < knum)
-            rows = jnp.broadcast_to(
-                jnp.arange(covered.shape[0])[:, None], covered.shape)
-            cols = jnp.where(keep, rank, knum)  # knum = OOB -> dropped
-            fids = jnp.broadcast_to(
-                (jnp.arange(face_chunk) + lo)[None, :], covered.shape
-            ).astype(jnp.int32)
-            kbuf = kbuf.at[rows, cols].set(
-                fids, mode='drop', unique_indices=True)
-            count = jnp.minimum(
-                count + jnp.sum(covered.astype(jnp.int32), axis=1), knum)
-            return kbuf, count
+            fids = (jnp.arange(face_chunk, dtype=jnp.int32) + lo)[None, :]
+            keys = jnp.where(covered, F_cap - fids, 0)
+            merged = jnp.concatenate([best_keys, keys], axis=1)
+            best_keys, _ = jax.lax.top_k(merged, knum)
+            return best_keys
 
-        kbuf0 = jnp.full((pixel_chunk, knum), -1, dtype=jnp.int32)
-        count0 = jnp.zeros((pixel_chunk,), dtype=jnp.int32)
-        kbuf, _ = jax.lax.fori_loop(0, num_fchunks, face_step,
-                                    (kbuf0, count0))
-        return kbuf
+        best0 = jnp.zeros((pixel_chunk, knum), dtype=jnp.int32)
+        best = jax.lax.fori_loop(0, num_fchunks, face_step, best0)
+        return jnp.where(best > 0, F_cap - best, -1)
 
     out = jax.lax.map(pixel_block, coords).reshape(-1, knum)[:P]
     return out.reshape(height, width, knum)

@@ -81,14 +81,27 @@ def _ray_sgn(d):
 
 
 def _compact(mask, arrays, out_cap):
-    """Order-preserving compaction of masked rows into out_cap slots."""
-    positions = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    dest = jnp.where(mask, positions, out_cap)  # OOB -> dropped
+    """Order-preserving compaction of masked rows into out_cap slots.
+
+    Implemented as an argsort on (invalid, position) keys — a vectorized
+    sort on TPU, where a scatter would lower to a serial loop.
+    """
+    n = mask.shape[0]
+    big = n + 1
+    keys = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), big)
+    order = jnp.argsort(keys)  # valid rows first, original order kept
+    take = min(out_cap, n)
+    sel = order[:take]
+    sel_valid = keys[sel] < big
     outs = []
     for a, fill in arrays:
-        out = jnp.full((out_cap,) + a.shape[1:], fill, dtype=a.dtype)
-        outs.append(out.at[dest].set(a, mode='drop'))
-    count = positions[-1] + 1 if mask.shape[0] > 0 else 0
+        picked = jnp.where(
+            sel_valid.reshape((-1,) + (1,) * (a.ndim - 1)), a[sel], fill)
+        if take < out_cap:
+            pad_width = ((0, out_cap - take),) + ((0, 0),) * (a.ndim - 1)
+            picked = jnp.pad(picked, pad_width, constant_values=fill)
+        outs.append(picked)
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), out_cap)
     return outs, count
 
 
