@@ -10,3 +10,9 @@ from kaolin_tpu.io.usd.materials import (  # noqa: F401
 from kaolin_tpu.io.usd.voxelgrid import (  # noqa: F401
     import_voxelgrid, import_voxelgrids, add_voxelgrid,
     export_voxelgrid, export_voxelgrids)
+from kaolin_tpu.io.usd.utils import (  # noqa: F401
+    get_authored_time_samples, open_stage)
+from kaolin_tpu.io.usd.pointcloud import (  # noqa: F401
+    get_pointcloud_scene_paths, get_pointcloud_bracketing_time_samples)
+from kaolin_tpu.io.usd.mesh import (  # noqa: F401
+    get_raw_mesh_prim_geometry, get_mesh_prim_materials)

@@ -19,6 +19,7 @@ from kaolin_tpu.rep.surface_mesh import SurfaceMesh
 __all__ = [
     'import_mesh', 'import_meshes', 'add_mesh', 'export_mesh',
     'export_meshes', 'create_stage', 'get_scene_paths',
+    'get_raw_mesh_prim_geometry', 'get_mesh_prim_materials',
 ]
 
 
@@ -241,3 +242,59 @@ def import_meshes(file_path_or_stage, scene_paths=None, time=None,
         if mesh is not None:
             out.append(mesh)
     return out
+
+
+def get_raw_mesh_prim_geometry(prim, time=None, with_normals=False,
+                               with_uvs=False):
+    """Raw geometry attributes of a Mesh prim as numpy arrays.
+
+    Parity: ``kaolin/io/usd/mesh.py`` (get_raw_mesh_prim_geometry).
+    """
+    from kaolin_tpu.io.usd.usda import TimeSampled
+
+    def get_attr(name):
+        v = prim.attrs.get(name)
+        if isinstance(v, TimeSampled):
+            key = (float(time) if time is not None and float(time) in v
+                   else sorted(v.keys())[0])
+            return v[key]
+        return v
+
+    out = {
+        'vertices': np.asarray(get_attr('points'), dtype=np.float32)
+        if get_attr('points') is not None else None,
+        'face_vertex_counts': np.asarray(get_attr('faceVertexCounts'))
+        if get_attr('faceVertexCounts') is not None else None,
+        'face_vertex_indices': np.asarray(get_attr('faceVertexIndices'))
+        if get_attr('faceVertexIndices') is not None else None,
+    }
+    if with_normals:
+        n = get_attr('normals')
+        out['normals'] = (np.asarray(n, dtype=np.float32)
+                          if n is not None else None)
+    if with_uvs:
+        uv = get_attr('primvars:st')
+        idx = get_attr('primvars:st:indices')
+        out['uvs'] = {
+            'values': np.asarray(uv, np.float32) if uv is not None else None,
+            'indices': np.asarray(idx) if idx is not None else None,
+        }
+    return out
+
+
+def get_mesh_prim_materials(prim, file_path=None, time=None):
+    """Materials bound on a Mesh prim (name -> PBRMaterial).
+
+    Parity: ``kaolin/io/usd/mesh.py`` (get_mesh_prim_materials); with the
+    USDA subset, material bindings are stored as a 'material:binding'
+    attribute holding the Material prim path.
+    """
+    binding = prim.attrs.get('material:binding')
+    if binding is None or file_path is None:
+        return {}
+    from kaolin_tpu.io.usd.materials import import_material
+    try:
+        return {str(binding): import_material(file_path, str(binding),
+                                              time=time)}
+    except Exception:
+        return {}

@@ -13,7 +13,9 @@ from kaolin_tpu.io.usd.mesh import (_check_text_usd, _open_stage,
                                     create_stage, get_scene_paths)
 
 __all__ = ['import_pointcloud', 'import_pointclouds', 'add_pointcloud',
-           'export_pointcloud', 'export_pointclouds']
+           'export_pointcloud', 'export_pointclouds',
+           'get_pointcloud_scene_paths',
+           'get_pointcloud_bracketing_time_samples']
 
 
 def add_pointcloud(stage, points, scene_path, colors=None, time=None,
@@ -107,3 +109,31 @@ def import_pointclouds(file_path_or_stage, scene_paths=None, time=None):
         normals_out.append(jnp.asarray(np.asarray(normals, np.float32))
                            if normals is not None else None)
     return points_out, colors_out, normals_out
+
+
+def get_pointcloud_scene_paths(file_path_or_stage):
+    """All pointcloud prim paths in a stage.
+
+    Parity: ``kaolin/io/usd/pointcloud.py:40``.
+    """
+    stage = (file_path_or_stage if isinstance(file_path_or_stage, UsdaStage)
+             else _open_stage(file_path_or_stage))
+    return get_scene_paths(stage, prim_types=['Points', 'PointInstancer'])
+
+
+def get_pointcloud_bracketing_time_samples(stage, scene_path, target_time):
+    """(lower, upper) authored time samples around target_time.
+
+    Parity: ``kaolin/io/usd/pointcloud.py:62``.
+    """
+    prim = stage.get_prim(scene_path) if isinstance(stage, UsdaStage) \
+        else _open_stage(stage).get_prim(scene_path)
+    times = set()
+    for v in prim.attrs.values():
+        if isinstance(v, TimeSampled):
+            times.update(v.keys())
+    if not times:
+        return (target_time, target_time)
+    lower = max([t for t in times if t <= target_time], default=min(times))
+    upper = min([t for t in times if t >= target_time], default=max(times))
+    return (lower, upper)

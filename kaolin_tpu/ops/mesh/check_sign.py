@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['check_sign']
+__all__ = ['check_sign', '_unbatched_check_sign_cuda']
 
 
 def _crossings(points, v0, v1, v2):
@@ -134,3 +134,9 @@ def check_sign(verts, faces, points, hash_resolution=512, chunk_size=2048,
 
     counts = jax.vmap(per_mesh)(verts, points_p)[:, :P]
     return counts % 2 == 1
+
+
+def _unbatched_check_sign_cuda(verts, faces, points):
+    """Parity alias of the reference CUDA entry point
+    (``check_sign.py:47``): unbatched ray-parity inside test."""
+    return check_sign(verts[None], faces, points[None])[0]

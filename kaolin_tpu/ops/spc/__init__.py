@@ -3,7 +3,7 @@ from kaolin_tpu.ops.spc.uint8 import (  # noqa: F401
 from kaolin_tpu.ops.spc.points import (  # noqa: F401
     quantize_points, unbatched_points_to_octree, points_to_morton,
     morton_to_points, points_to_corners, unbatched_interpolate_trilinear,
-    coords_to_trilinear_coeffs, create_dense_spc)
+    coords_to_trilinear, coords_to_trilinear_coeffs, create_dense_spc)
 from kaolin_tpu.ops.spc.convolution import (  # noqa: F401
     conv3d, conv_transpose3d, Conv3d, ConvTranspose3d)
 from kaolin_tpu.ops.spc.spc import (  # noqa: F401

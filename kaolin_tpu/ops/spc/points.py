@@ -28,6 +28,7 @@ __all__ = [
     'morton_to_points',
     'points_to_corners',
     'unbatched_interpolate_trilinear',
+    'coords_to_trilinear',
     'coords_to_trilinear_coeffs',
     'create_dense_spc',
 ]
@@ -138,6 +139,15 @@ def points_to_corners(points):
     offs = jnp.stack([(j >> 2) & 1, (j >> 1) & 1, j & 1],
                      axis=-1).astype(points.dtype)  # (8, 3)
     return points[..., None, :] + offs
+
+
+def coords_to_trilinear(coords, points, level):
+    """Deprecated alias of :func:`coords_to_trilinear_coeffs`."""
+    import warnings
+    warnings.warn("coords_to_trilinear is deprecated, "
+                  "please use coords_to_trilinear_coeffs instead",
+                  DeprecationWarning)
+    return coords_to_trilinear_coeffs(coords, points, level)
 
 
 def coords_to_trilinear_coeffs(coords, points, level):

@@ -1,7 +1,7 @@
-from kaolin_tpu.render.camera.camera import Camera  # noqa: F401
+from kaolin_tpu.render.camera.camera import Camera, allclose  # noqa: F401
 from kaolin_tpu.render.camera.extrinsics import CameraExtrinsics  # noqa: F401
 from kaolin_tpu.render.camera.extrinsics_backends import (  # noqa: F401
-    available_backends)
+    available_backends, ExtrinsicsRep, register_backend)
 from kaolin_tpu.render.camera.intrinsics import (  # noqa: F401
     CameraFOV, CameraIntrinsics, up_to_homogeneous, down_from_homogeneous)
 from kaolin_tpu.render.camera.intrinsics_pinhole import PinholeIntrinsics  # noqa: F401

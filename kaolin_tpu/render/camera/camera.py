@@ -15,7 +15,7 @@ from kaolin_tpu.render.camera.intrinsics import CameraIntrinsics, CameraFOV
 from kaolin_tpu.render.camera.intrinsics_pinhole import PinholeIntrinsics
 from kaolin_tpu.render.camera.intrinsics_ortho import OrthographicIntrinsics
 
-__all__ = ['Camera']
+__all__ = ['Camera', 'allclose']
 
 _EXTRINSICS_ATTRS = {
     'R', 't', 'view_matrix', 'inv_view_matrix', 'cam_pos', 'cam_right',
@@ -245,3 +245,11 @@ class Camera:
         out_dir = out_dir / jnp.maximum(
             jnp.linalg.norm(out_dir, axis=-1, keepdims=True), 1e-12)
         return out_orig, out_dir
+
+
+def allclose(input, other, rtol=1e-5, atol=1e-8):
+    """Module-level allclose over Camera / extrinsics / intrinsics objects.
+
+    Parity: ``kaolin/render/camera/camera.py:654``.
+    """
+    return input.allclose(other, rtol=rtol, atol=atol)

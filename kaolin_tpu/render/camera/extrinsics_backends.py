@@ -16,6 +16,13 @@ import jax.numpy as jnp
 
 _REGISTRY = {}
 
+# parity alias: the reference exposes the backend base class as
+# ``ExtrinsicsRep`` (``extrinsics_backends.py:40``)
+class ExtrinsicsRep:
+    """Base marker class for extrinsics parameter backends."""
+    pass
+
+
 
 def register_backend(name):
     def deco(cls):

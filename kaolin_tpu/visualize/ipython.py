@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from kaolin_tpu.render.camera import Camera
 
-__all__ = ['BaseIpyVisualizer', 'IpyTurntableVisualizer',
+__all__ = ['update_canvas', 'BaseIpyVisualizer', 'IpyTurntableVisualizer',
            'IpyFirstPersonVisualizer']
 
 
@@ -51,6 +51,17 @@ def quat_rotate(q, v):
     qv = np.concatenate([[0.], np.asarray(v, dtype=np.float64)])
     q_conj = q * np.array([1., -1., -1., -1.])
     return quat_mul(quat_mul(q, qv), q_conj)[1:]
+
+
+def update_canvas(canvas, image):
+    """Put an image array on an ipycanvas Canvas.
+
+    Parity: ``kaolin/visualize/ipython.py`` (update_canvas).
+    """
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0., 1.) * 255).astype(np.uint8)
+    canvas.put_image_data(img)
 
 
 class BaseIpyVisualizer:
