@@ -35,7 +35,12 @@ def make_mesh(axis_shapes: Sequence[int] = None,
         devices = jax.devices()
     if axis_shapes is None:
         axis_shapes = (len(devices),)
-    arr = np.asarray(devices).reshape(axis_shapes)
+    need = int(np.prod(axis_shapes))
+    if need > len(devices):
+        raise ValueError(
+            f"mesh shape {tuple(axis_shapes)} needs {need} devices, "
+            f"only {len(devices)} available")
+    arr = np.asarray(devices[:need]).reshape(axis_shapes)
     return Mesh(arr, axis_names)
 
 
@@ -63,7 +68,12 @@ def multi_view_grad(loss_fn, mesh: Mesh, axis: str = 'data'):
     Returns:
         ``fn(params, views) -> (loss, grads)`` with replicated outputs.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+        _kw = {'check_vma': False}
+    except ImportError:  # jax < 0.8
+        from jax.experimental.shard_map import shard_map
+        _kw = {'check_rep': False}
 
     def local_loss(params, views):
         value, grads = jax.value_and_grad(loss_fn)(params, views)
@@ -75,4 +85,4 @@ def multi_view_grad(loss_fn, mesh: Mesh, axis: str = 'data'):
         local_loss, mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False)
+        **_kw)
