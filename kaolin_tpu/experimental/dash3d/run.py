@@ -71,6 +71,20 @@ def create_server(logdir, port=8080):
     return app
 
 
+def get_max_viewports(urlargs):
+    """Clamp the requested number of viewports to [1, 8] (default 3).
+
+    Parity: ``kaolin/experimental/dash3d/run.py:32``.
+    """
+    default_val = 3
+    try:
+        res = int(urlargs.get('maxviews', default_val))
+        res = max(1, min(8, res))
+    except Exception:
+        res = default_val
+    return res
+
+
 def main():
     parser = argparse.ArgumentParser(description='kaolin-dash3d web viewer')
     parser.add_argument('--logdir', type=str, required=True,
@@ -83,6 +97,10 @@ def main():
     logger.info(f'Serving dash3d for {args.logdir} on port {args.port}')
     create_server(args.logdir, args.port)
     tornado.ioloop.IOLoop.current().start()
+
+
+# reference entry-point name (kaolin/experimental/dash3d/run.py:80)
+run_main = main
 
 
 if __name__ == '__main__':

@@ -17,7 +17,8 @@ import numpy as np
 from kaolin_tpu.visualize.timelapse import TimelapseParser
 
 __all__ = ['StreamingGeometryHelper', 'serialize_arrays',
-           'deserialize_arrays']
+           'deserialize_arrays', 'meshes_to_binary',
+           'point_clouds_to_binary']
 
 MAGIC = b'KAO1'
 MSG_MESH = 1
@@ -60,6 +61,48 @@ def deserialize_arrays(payload):
         off += 4 * count
         arrays.append(arr)
     return msg_type, arrays
+
+
+def meshes_to_binary(vertices_list, faces_list):
+    """Encode meshes in the reference dash3d wire format.
+
+    Parity: ``kaolin/experimental/dash3d/util.py:28`` — header
+    ``[nmeshes, texture_mode, 0, 0]`` (int32) then per mesh
+    ``[nvertices, nfaces]`` + f32 vertices + i32 faces.
+    """
+    nmeshes = len(vertices_list)
+    if len(faces_list) != nmeshes:
+        raise RuntimeError(
+            f'Expected equal number of vertex and face lists, got: '
+            f'{nmeshes}, {len(faces_list)}')
+    parts = [np.array([nmeshes, 0, 0, 0], dtype=np.int32).tobytes()]
+    for vertices, faces in zip(vertices_list, faces_list):
+        vertices = np.asarray(vertices)
+        faces = np.asarray(faces)
+        parts.append(np.array([vertices.size // 3, faces.size // 3],
+                              dtype=np.int32).tobytes())
+        parts.append(vertices.astype(np.float32).tobytes())
+        parts.append(faces.astype(np.int32).tobytes())
+    return b''.join(parts)
+
+
+def point_clouds_to_binary(positions_list):
+    """Encode pointclouds in the reference dash3d wire format.
+
+    Parity: ``kaolin/experimental/dash3d/util.py:64`` — header
+    ``[nclouds, texture_mode, 0, 0]`` then per cloud ``[npts, 0]`` +
+    f32 bbox mins + maxes + f32 positions.
+    """
+    nclouds = len(positions_list)
+    parts = [np.array([nclouds, 0, 0, 0], dtype=np.int32).tobytes()]
+    for positions in positions_list:
+        positions = np.asarray(positions).reshape(-1, 3)
+        parts.append(np.array([positions.shape[0], 0],
+                              dtype=np.int32).tobytes())
+        parts.append(positions.min(axis=0).astype(np.float32).tobytes())
+        parts.append(positions.max(axis=0).astype(np.float32).tobytes())
+        parts.append(positions.astype(np.float32).tobytes())
+    return b''.join(parts)
 
 
 class StreamingGeometryHelper:

@@ -13,7 +13,8 @@ import numpy as np
 __all__ = [
     'MaterialError', 'MaterialNotSupportedError', 'MaterialLoadError',
     'MaterialWriteError', 'MaterialFileError', 'MaterialNotFoundError',
-    'Material', 'PBRMaterial', 'process_materials_and_assignments',
+    'Material', 'PBRMaterial', 'MaterialManager',
+    'process_materials_and_assignments',
 ]
 
 
@@ -178,3 +179,78 @@ def process_materials_and_assignments(materials_dict,
         else:
             material_assignments[values] = mat_idx
     return materials, material_assignments
+
+class MaterialManager:
+    """Registry mapping shader names to material reader functions.
+
+    Parity: ``kaolin/io/materials.py:89``.  USD import functions use this
+    to pick a reader for a material's shader id; the default registered
+    reader handles ``UsdPreviewSurface`` via
+    :func:`kaolin_tpu.io.usd.materials.import_material`.
+
+    Example:
+        >>> dummy_reader = lambda params, texture_path, time: Material('x')
+        >>> MaterialManager.register_usd_reader('MyCustomPBR', dummy_reader)
+    """
+    _usd_readers = {}
+    _obj_reader = None
+
+    @classmethod
+    def register_usd_reader(cls, shader_name, reader_fn):
+        """Register ``reader_fn(params, texture_path, time)`` for a shader.
+
+        Parity: ``kaolin/io/materials.py:111``.
+        """
+        import inspect
+        from typing import Callable
+        if shader_name in cls._usd_readers:
+            warnings.warn(f'Shader {shader_name} is already registered. '
+                          'Overwriting previous definition.')
+        if not callable(reader_fn):
+            raise MaterialLoadError(
+                'The supplied `reader_fn` must be a callable function.')
+        if len(inspect.signature(reader_fn).parameters) != 3:
+            raise ValueError(
+                'Error encountered when validating supplied `reader_fn`. '
+                'Ensure that the function takes 3 arguments: parameters '
+                '(dict), texture_path (string) and time (float)')
+        cls._usd_readers[shader_name] = reader_fn
+
+    @classmethod
+    def register_obj_reader(cls, reader_fn):
+        """Register a reader used for ``.obj`` material files."""
+        if not callable(reader_fn):
+            raise MaterialLoadError(
+                'The supplied `reader_fn` must be a callable function.')
+        cls._obj_reader = reader_fn
+
+    @classmethod
+    def read_from_file(cls, file_path, scene_path=None, texture_path=None,
+                       time=None):
+        """Read a material from a USD(A) or OBJ/MTL file.
+
+        Parity: ``kaolin/io/materials.py:135``.
+        """
+        ext = os.path.splitext(file_path)[1]
+        if ext in ('.usd', '.usda', '.usdc'):
+            if scene_path is None:
+                raise MaterialLoadError(
+                    f'The scene_path `{scene_path}` provided is invalid.')
+            if texture_path is None:
+                texture_file_path = os.path.dirname(file_path)
+            elif not os.path.isabs(texture_path):
+                texture_file_path = os.path.join(
+                    os.path.dirname(file_path), texture_path)
+            else:
+                texture_file_path = texture_path
+            from kaolin_tpu.io.usd import materials as usd_materials
+            return usd_materials.import_material(
+                file_path, scene_path, texture_path=texture_file_path,
+                time=time)
+        elif ext == '.obj':
+            if cls._obj_reader is not None:
+                return cls._obj_reader(file_path)
+            raise MaterialNotSupportedError(
+                'No registered .obj material reader found.')
+        raise MaterialNotSupportedError(
+            f'Unsupported material file extension {ext!r}')

@@ -20,6 +20,7 @@ __all__ = [
     'import_mesh', 'import_meshes', 'add_mesh', 'export_mesh',
     'export_meshes', 'create_stage', 'get_scene_paths',
     'get_raw_mesh_prim_geometry', 'get_mesh_prim_materials',
+    'get_uvmap_primvar', 'get_face_uvs_idx', 'get_face_normals',
 ]
 
 
@@ -298,3 +299,51 @@ def get_mesh_prim_materials(prim, file_path=None, time=None):
                                               time=time)}
     except Exception:
         return {}
+
+def get_uvmap_primvar(mesh_prim):
+    """The UV ('st') primvar data of a Mesh prim.
+
+    Parity: ``kaolin/io/usd/mesh.py:47`` — with the USDA subset returns a
+    dict ``{'values', 'indices', 'interpolation'}`` instead of a pxr
+    Primvar object.
+    """
+    uv = mesh_prim.attrs.get('primvars:st')
+    idx = mesh_prim.attrs.get('primvars:st:indices')
+    interp = mesh_prim.attrs.get('primvars:st:interpolation',
+                                 'faceVarying')
+    return {
+        'values': np.asarray(uv, np.float32) if uv is not None else None,
+        'indices': np.asarray(idx) if idx is not None else None,
+        'interpolation': interp,
+    }
+
+
+def get_face_uvs_idx(faces, face_sizes, uvs, uv_idx, uv_interpolation,
+                     **kwargs):
+    """Resolve per-face-vertex UV indices for a USD interpolation mode.
+
+    Parity: ``kaolin/io/usd/mesh.py:252``.
+    """
+    if uv_interpolation in ('vertex', 'varying'):
+        if uv_idx is None:
+            if uvs is None:
+                raise ValueError('Neither uvs nor uv_idx are set')
+            uv_idx = np.arange(len(uvs))
+        return np.asarray(uv_idx)[np.asarray(faces)]
+    elif uv_interpolation == 'faceVarying':
+        if uv_idx is None:
+            uv_idx = np.arange(int(np.sum(face_sizes)))
+        return np.asarray(uv_idx)
+    raise NotImplementedError(
+        f'Interpolation type {uv_interpolation} is not supported')
+
+
+def get_face_normals(normals, normals_interpolation, **kwargs):
+    """Resolve face normals for a USD interpolation mode.
+
+    Parity: ``kaolin/io/usd/mesh.py:274``.
+    """
+    if normals_interpolation == 'faceVarying':
+        return normals
+    raise NotImplementedError(
+        f'Interpolation type {normals_interpolation} is not supported')

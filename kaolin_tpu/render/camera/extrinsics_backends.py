@@ -12,12 +12,23 @@ pairs).
   gradient steps stay in SE(3).  Reference: ``extrinsics_backends.py:205``.
 """
 
+from enum import IntEnum
+
 import jax.numpy as jnp
 
 _REGISTRY = {}
 
 # parity alias: the reference exposes the backend base class as
 # ``ExtrinsicsRep`` (``extrinsics_backends.py:40``)
+class ExtrinsicsParamsDefEnum(IntEnum):
+    """Semantic blocks of the extrinsics parameters (R then t).
+
+    Parity: ``kaolin/render/camera/extrinsics_backends.py:34``.
+    """
+    R = 0
+    t = 1
+
+
 class ExtrinsicsRep:
     """Base marker class for extrinsics parameter backends."""
     pass

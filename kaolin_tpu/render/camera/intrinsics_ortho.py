@@ -3,6 +3,8 @@
 Parity: ``kaolin/render/camera/intrinsics_ortho.py`` (reference).
 """
 
+from enum import IntEnum
+
 import jax.numpy as jnp
 
 from kaolin_tpu.render.camera.intrinsics import (
@@ -10,6 +12,14 @@ from kaolin_tpu.render.camera.intrinsics import (
     up_to_homogeneous)
 
 __all__ = ['OrthographicIntrinsics']
+
+
+class OrthoParamsDefEnum(IntEnum):
+    """Column indices of the orthographic ``params`` tensor.
+
+    Parity: ``kaolin/render/camera/intrinsics_ortho.py:26``.
+    """
+    fov_distance = 0
 
 
 class OrthographicIntrinsics(CameraIntrinsics):

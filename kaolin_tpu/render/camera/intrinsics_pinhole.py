@@ -12,6 +12,7 @@ Matrix conventions match the reference bit-for-bit (SURVEY.md A.5):
 """
 
 import math
+from enum import IntEnum
 from typing import Optional
 
 import numpy as np
@@ -22,6 +23,17 @@ from kaolin_tpu.render.camera.intrinsics import (
     up_to_homogeneous)
 
 __all__ = ['PinholeIntrinsics']
+
+
+class PinholeParamsDefEnum(IntEnum):
+    """Column indices of the pinhole ``params`` tensor.
+
+    Parity: ``kaolin/render/camera/intrinsics_pinhole.py:27``.
+    """
+    x0 = 0
+    y0 = 1
+    focal_x = 2
+    focal_y = 3
 
 
 class PinholeIntrinsics(CameraIntrinsics):

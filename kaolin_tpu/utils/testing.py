@@ -21,7 +21,11 @@ __all__ = [
     'check_spc_octrees',
     'tensor_info',
     'contained_allclose',
+    'contained_equal',
     'check_allclose',
+    'check_tensor_attribute_shapes',
+    'print_dict_attributes',
+    'print_namedtuple_attributes',
 ]
 
 BOOL_DTYPES = [jnp.bool_]
@@ -236,3 +240,97 @@ def check_allclose(tensor, other, rtol=1e-5, atol=1e-8, equal_nan=False):
         raise ValueError(
             f"Tensors are not close: max abs diff {diff.max()}, "
             f"{int((~close).sum())}/{close.size} mismatched elements")
+
+def contained_equal(elem, other, approximate=False, rtol=1e-5, atol=1e-8):
+    """Recursive exact (or allclose) comparison of containers of arrays.
+
+    Parity: ``kaolin/utils/testing.py:287`` (``contained_torch_equal``);
+    ``approximate=True`` matches the reference's allclose mode. Supports
+    dicts, (named)tuples, lists, slotted objects, arrays and scalars.
+    """
+    if type(elem) is not type(other) and not (
+            isinstance(elem, (int, float, bool))
+            and isinstance(other, (int, float, bool))):
+        if not (hasattr(elem, 'shape') and hasattr(other, 'shape')):
+            return False
+    if isinstance(elem, dict):
+        if elem.keys() != other.keys():
+            return False
+        return all(contained_equal(elem[k], other[k], approximate, rtol, atol)
+                   for k in elem)
+    if isinstance(elem, tuple) and hasattr(elem, '_fields'):  # namedtuple
+        if set(elem._fields) != set(other._fields):
+            return False
+        return all(contained_equal(getattr(elem, f), getattr(other, f),
+                                   approximate, rtol, atol)
+                   for f in elem._fields)
+    if isinstance(elem, (list, tuple)):
+        if len(elem) != len(other):
+            return False
+        return all(contained_equal(a, b, approximate, rtol, atol)
+                   for a, b in zip(elem, other))
+    if isinstance(elem, str) or elem is None:
+        return elem == other
+    if hasattr(elem, 'shape') or isinstance(elem, (int, float, bool)):
+        a, b = np.asarray(elem), np.asarray(other)
+        if a.shape != b.shape:
+            return False
+        if approximate and np.issubdtype(a.dtype, np.floating):
+            return bool(np.allclose(a, b, rtol=rtol, atol=atol))
+        return bool(np.array_equal(a, b))
+    if hasattr(elem, '__slots__'):
+        return contained_equal(
+            {k: getattr(elem, k) for k in elem.__slots__ if hasattr(elem, k)},
+            {k: getattr(other, k) for k in other.__slots__ if hasattr(other, k)},
+            approximate, rtol, atol)
+    return elem == other
+
+
+def check_tensor_attribute_shapes(container, throw=True, **attribute_info):
+    """Check shapes of named attributes (or dict keys) of ``container``.
+
+    Parity: ``kaolin/utils/testing.py`` (``check_tensor_attribute_shapes``).
+    """
+    success = True
+    for k, shape in attribute_info.items():
+        val = container[k] if isinstance(container, dict) \
+            else getattr(container, k)
+        if not check_tensor(val, shape=shape, throw=False):
+            success = False
+            message = f'Attribute {k} has shape {val.shape} (expected {shape})'
+            if throw:
+                raise ValueError(message)
+            logging.error(message)
+    return success
+
+
+def print_dict_attributes(in_dict, name='', prefix='', **tensor_info_kwargs):
+    """Print a summary line per dict entry (tensor_info for arrays).
+
+    Parity: ``kaolin/utils/testing.py`` (``print_dict_attributes``).
+    """
+    if len(name) > 0:
+        print(f'\nAttributes of {name}:')
+    for k, v in in_dict.items():
+        recurse = False
+        if hasattr(v, 'shape') and hasattr(v, 'dtype'):
+            tinfo = tensor_info(v, **tensor_info_kwargs)
+        elif isinstance(v, (str, int, float)):
+            tinfo = v
+        elif isinstance(v, dict):
+            tinfo = f'{type(v)} of length {len(v)}'
+            recurse = True
+        elif isinstance(v, (list, tuple)):
+            tinfo = f'{type(v)} of length {len(v)}'
+        else:
+            tinfo = type(v)
+        print(f'   {prefix}{k}: {tinfo}')
+        if recurse:
+            print_dict_attributes(v, prefix='  ', **tensor_info_kwargs)
+
+
+def print_namedtuple_attributes(ntuple, name='', prefix='',
+                                **tensor_info_kwargs):
+    """Same as :func:`print_dict_attributes` for a namedtuple."""
+    print_dict_attributes(ntuple._asdict(), name=name, prefix=prefix,
+                          **tensor_info_kwargs)

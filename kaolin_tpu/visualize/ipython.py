@@ -53,6 +53,67 @@ def quat_rotate(q, v):
     return quat_mul(quat_mul(q, qv), q_conj)[1:]
 
 
+def make_quaternion_rotation(angle, vec):
+    """Axis-angle rotation as a batched quaternion in (x, y, z, w) layout.
+
+    Parity: ``kaolin/visualize/ipython.py:189`` — vec is (batch, 3),
+    returns (batch, 4).
+    """
+    vec = np.asarray(vec, dtype=np.float64)
+    half = angle / 2.
+    s, c = np.sin(half), np.cos(half)
+    return np.stack([vec[:, 0] * s, vec[:, 1] * s, vec[:, 2] * s,
+                     np.full((vec.shape[0],), c)], axis=-1)
+
+
+def conjugate(quat):
+    """Conjugate of a batched (x, y, z, w) quaternion.
+
+    Parity: ``kaolin/visualize/ipython.py:212``.
+    """
+    quat = np.asarray(quat)
+    return np.stack([-quat[:, 0], -quat[:, 1], -quat[:, 2], quat[:, 3]],
+                    axis=-1)
+
+
+def mulqv(q, v):
+    """Product of a batched (x, y, z, w) quaternion with a 3D vector.
+
+    Parity: ``kaolin/visualize/ipython.py:223``.
+    """
+    q, v = np.asarray(q), np.asarray(v)
+    return np.stack([
+        q[:, 3] * v[:, 0] + q[:, 1] * v[:, 2] - q[:, 2] * v[:, 1],
+        q[:, 3] * v[:, 1] + q[:, 2] * v[:, 0] - q[:, 0] * v[:, 2],
+        q[:, 3] * v[:, 2] + q[:, 0] * v[:, 1] - q[:, 1] * v[:, 0],
+        -q[:, 0] * v[:, 0] - q[:, 1] * v[:, 1] - q[:, 2] * v[:, 2],
+    ], axis=-1)
+
+
+def mulqq(l, r):
+    """Hamilton product of two batched (x, y, z, w) quaternions.
+
+    Parity: ``kaolin/visualize/ipython.py:245`` (the reference's w component
+    has a typo — ``l[:,2]*l[:,2]`` — corrected here to ``l[:,2]*r[:,2]``).
+    """
+    l, r = np.asarray(l), np.asarray(r)
+    return np.stack([
+        l[:, 0] * r[:, 3] + l[:, 3] * r[:, 0] + l[:, 1] * r[:, 2] - l[:, 2] * r[:, 1],
+        l[:, 1] * r[:, 3] + l[:, 3] * r[:, 1] + l[:, 2] * r[:, 0] - l[:, 0] * r[:, 2],
+        l[:, 2] * r[:, 3] + l[:, 3] * r[:, 2] + l[:, 0] * r[:, 1] - l[:, 1] * r[:, 0],
+        l[:, 3] * r[:, 3] - l[:, 0] * r[:, 0] - l[:, 1] * r[:, 1] - l[:, 2] * r[:, 2],
+    ], axis=-1)
+
+
+def rotate_around_axis(point, angle, axis):
+    """Rotate batched points around batched axes by ``angle``.
+
+    Parity: ``kaolin/visualize/ipython.py:267``.
+    """
+    rot_q = make_quaternion_rotation(angle, axis)
+    return mulqq(mulqv(rot_q, np.asarray(point)), conjugate(rot_q))[:, :-1]
+
+
 def update_canvas(canvas, image):
     """Put an image array on an ipycanvas Canvas.
 

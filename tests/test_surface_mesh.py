@@ -113,3 +113,90 @@ def test_unset_returns_none():
                        faces=jnp.zeros((1, 3), dtype=jnp.int32))
     assert mesh.uvs is None
     assert mesh.face_uvs is None  # cannot be computed either
+
+
+# ---- API-parity additions (testing helpers, quaternions, dash3d wire) ----
+
+def test_contained_equal():
+    import collections
+    import numpy as np
+    from kaolin_tpu.utils.testing import contained_equal, \
+        check_tensor_attribute_shapes
+    NT = collections.namedtuple('NT', 'a b')
+    assert contained_equal(NT(np.ones(3), 'x'), NT(np.ones(3), 'x'))
+    assert not contained_equal(NT(np.ones(3), 'x'), NT(np.ones(3), 'y'))
+    assert contained_equal({'a': 1.0}, {'a': 1.0 + 1e-9}, approximate=True)
+    assert not contained_equal({'a': 1.0}, {'a': 1.1}, approximate=True)
+    assert not contained_equal([1, 2], [1, 2, 3])
+    assert check_tensor_attribute_shapes({'v': np.zeros((4, 3))}, v=(4, 3))
+
+
+def test_quaternion_helpers_match_rotation_matrix():
+    import numpy as np
+    from kaolin_tpu.visualize.ipython import rotate_around_axis
+    rng = np.random.default_rng(0)
+    p = rng.normal(size=(5, 3))
+    axis = np.tile(np.array([[0., 1., 0.]]), (5, 1))
+    ang = 0.7
+    c, s = np.cos(ang), np.sin(ang)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    assert np.allclose(rotate_around_axis(p, ang, axis), p @ R.T, atol=1e-12)
+
+
+def test_dash3d_reference_wire_format():
+    import numpy as np
+    from kaolin_tpu.experimental.dash3d.util import meshes_to_binary, \
+        point_clouds_to_binary
+    v = np.arange(9, dtype=np.float32).reshape(3, 3)
+    f = np.array([[0, 1, 2]], dtype=np.int32)
+    b = meshes_to_binary([v], [f])
+    hdr = np.frombuffer(b[:16], np.int32)
+    assert list(hdr) == [1, 0, 0, 0]
+    nv, nf = np.frombuffer(b[16:24], np.int32)
+    assert (nv, nf) == (3, 1)
+    assert np.frombuffer(b[24:24 + 36], np.float32).reshape(3, 3) \
+        .tolist() == v.tolist()
+    pc = point_clouds_to_binary([v])
+    npts = np.frombuffer(pc[16:20], np.int32)[0]
+    assert npts == 3
+    mins = np.frombuffer(pc[24:36], np.float32)
+    assert mins.tolist() == v.min(0).tolist()
+
+
+def test_usd_interpolation_getters():
+    import numpy as np
+    import pytest
+    from kaolin_tpu.io.usd.mesh import get_face_uvs_idx, get_face_normals
+    faces = np.array([[0, 1, 2], [2, 3, 0]])
+    out = get_face_uvs_idx(faces, [3, 3], np.zeros((4, 2)), None, 'vertex')
+    assert out.shape == (2, 3)
+    out = get_face_uvs_idx(faces, [3, 3], None, None, 'faceVarying')
+    assert (out == np.arange(6)).all()
+    assert get_face_normals('N', 'faceVarying') == 'N'
+    with pytest.raises(NotImplementedError):
+        get_face_normals('N', 'vertex')
+
+
+def test_material_manager():
+    import pytest
+    from kaolin_tpu.io.materials import MaterialManager, Material, \
+        MaterialNotSupportedError
+    MaterialManager.register_usd_reader(
+        'TestShader', lambda p, t, tm: Material('x'))
+    with pytest.raises(ValueError):
+        MaterialManager.register_usd_reader('Bad', lambda a: None)
+    with pytest.raises(MaterialNotSupportedError):
+        MaterialManager.read_from_file('nonexistent.obj')
+
+
+def test_camera_param_enums():
+    from kaolin_tpu.render.camera.intrinsics_pinhole import (
+        PinholeIntrinsics, PinholeParamsDefEnum)
+    from kaolin_tpu.render.camera.intrinsics_ortho import OrthoParamsDefEnum
+    from kaolin_tpu.render.camera.extrinsics_backends import (
+        ExtrinsicsParamsDefEnum)
+    # enum order must match the params column layout
+    assert [e.name for e in PinholeParamsDefEnum] \
+        == list(PinholeIntrinsics.param_names)
+    assert OrthoParamsDefEnum.fov_distance == 0
+    assert ExtrinsicsParamsDefEnum.R == 0 and ExtrinsicsParamsDefEnum.t == 1
