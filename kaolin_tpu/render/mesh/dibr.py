@@ -33,24 +33,28 @@ _EPS = 1e-7  # reference dibr_soft_mask_cuda.cu:23
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'height', 'width', 'knum', 'pixel_chunk', 'face_chunk'))
+    'height', 'width', 'knum', 'pixel_chunk'))
 def _soft_mask_select(face_bboxes, empty_pixel, xs, ys, height, width, knum,
-                      pixel_chunk=4096, face_chunk=1024):
+                      pixel_chunk=4096):
     """First-knum covering faces per pixel (single mesh).
 
     face_bboxes: (F, 4) enlarged [xmin, ymin, xmax, ymax] (scaled);
     empty_pixel: (H, W) bool.
+
+    One ``top_k`` per pixel block over ALL faces at once: the first-k
+    faces in face order (the CUDA loop order, ``dibr_soft_mask_cuda.cu:80``)
+    have the k largest keys ``F+1-fid`` among covered faces.  A chunked
+    running top_k merge is ~200x slower on TPU (many small sorts); the
+    single wide sort streams at full VPU speed.  ``lax.map`` (not vmap)
+    over pixel blocks keeps the (pixel_chunk, F) candidate matrix
+    VMEM/HBM-bounded.
 
     Returns:
         (H, W, knum) int32 face indices, -1 padded.
     """
     F = face_bboxes.shape[0]
     P = height * width
-    fpad = (-F) % face_chunk
-    bboxes = jnp.pad(face_bboxes, ((0, fpad), (0, 0)),
-                     constant_values=jnp.inf)  # never covers
-    bboxes = bboxes.at[F:, 2:].set(-jnp.inf)
-    num_fchunks = (F + fpad) // face_chunk
+    bboxes = face_bboxes
 
     ppad = (-P) % pixel_chunk
     pix = jnp.arange(P + ppad)
@@ -61,31 +65,19 @@ def _soft_mask_select(face_bboxes, empty_pixel, xs, ys, height, width, knum,
         [px, py, empty.astype(px.dtype)], axis=-1
     ).reshape(-1, pixel_chunk, 3)
 
-    # first-k-by-face-order as a running top_k merge: key = F_cap - fid
-    # for covered faces (so larger key = smaller face id), 0 = invalid.
-    # top_k is a vectorized sort on TPU — scatters would lower to serial
-    # loops.
-    F_cap = F + fpad + 1
+    fids = jnp.arange(F, dtype=jnp.int32)[None, :]
 
     def pixel_block(c):
         x0, y0 = c[:, 0:1], c[:, 1:2]  # (pc, 1)
         is_empty = c[:, 2] > 0.5
-
-        def face_step(i, best_keys):
-            lo = i * face_chunk
-            bb = jax.lax.dynamic_slice_in_dim(bboxes, lo, face_chunk)
-            covered = ((x0 >= bb[:, 0][None]) & (x0 < bb[:, 2][None])
-                       & (y0 >= bb[:, 1][None]) & (y0 < bb[:, 3][None]))
-            covered = covered & is_empty[:, None]  # (pc, fc)
-            fids = (jnp.arange(face_chunk, dtype=jnp.int32) + lo)[None, :]
-            keys = jnp.where(covered, F_cap - fids, 0)
-            merged = jnp.concatenate([best_keys, keys], axis=1)
-            best_keys, _ = jax.lax.top_k(merged, knum)
-            return best_keys
-
-        best0 = jnp.zeros((pixel_chunk, knum), dtype=jnp.int32)
-        best = jax.lax.fori_loop(0, num_fchunks, face_step, best0)
-        return jnp.where(best > 0, F_cap - best, -1)
+        covered = ((x0 >= bboxes[:, 0][None]) & (x0 < bboxes[:, 2][None])
+                   & (y0 >= bboxes[:, 1][None]) & (y0 < bboxes[:, 3][None]))
+        covered = covered & is_empty[:, None]  # (pc, F)
+        keys = jnp.where(covered, F + 1 - fids, 0)
+        if F < knum:  # top_k needs k <= axis size; pad with invalid keys
+            keys = jnp.pad(keys, ((0, 0), (0, knum - F)))
+        best, _ = jax.lax.top_k(keys, knum)
+        return jnp.where(best > 0, F + 1 - best, -1)
 
     out = jax.lax.map(pixel_block, coords).reshape(-1, knum)[:P]
     return out.reshape(height, width, knum)
