@@ -130,10 +130,160 @@ def dibr_soft_mask_select(face_vertices_image, selected_face_idx,
     xs, ys = pixel_coords(H, W, multiplier,
                           dtype=face_vertices_image.dtype)
     empty = selected_face_idx < 0
-    kbuf = jax.vmap(lambda bb, em: _soft_mask_select(
-        bb, em, xs, ys, height=H, width=W, knum=knum))(
-            jax.lax.stop_gradient(bboxes), empty)
+    # lax.map (sequential) over batch, NOT vmap: batching the inner
+    # lax.map + top_k lowers ~30x slower on TPU, and one mesh already
+    # saturates the chip.
+    kbuf = jax.lax.map(
+        lambda be: _soft_mask_select(be[0], be[1], xs, ys,
+                                     height=H, width=W, knum=knum),
+        (jax.lax.stop_gradient(bboxes), empty))
     return jax.lax.stop_gradient(kbuf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _soft_mask_epilogue(fvi_scaled, kbuf, empty, sigmainv, multiplier,
+                        hw):
+    """Differentiable soft-mask epilogue over a fixed k-buffer.
+
+    fvi_scaled: (B, F, 3, 2); kbuf: (B, H, W, K) int32 (-1 padded);
+    empty: (B, H, W) bool; hw = (H, W) static.  Returns (B, H, W) mask.
+
+    ``custom_vjp``: the autodiff backward of the 6-branch min-distance
+    chain materializes dozens of (B, H, W, K) intermediates in HBM
+    (~7x slower than forward).  The hand-derived backward below — the
+    same k1/k2/k3-style algebra as the reference CUDA kernel
+    (``dibr_soft_mask_cuda.cu:230-353``) — recomputes the distances in
+    one fused elementwise pass, selects the argmin branch with masks,
+    and accumulates vertex grads with a single scatter-add.
+    """
+    prob, _, _ = _soft_mask_prob(fvi_scaled, kbuf, sigmainv, multiplier, hw)
+    allprob = 1. - jnp.prod(1. - prob, axis=-1)
+    return jnp.where(empty, allprob, 1.)
+
+
+def _soft_mask_gather(fvi_scaled, kbuf):
+    """Gather per-(pixel, k) face vertices, batch folded into the ids."""
+    B, F = fvi_scaled.shape[:2]
+    sel = jnp.maximum(kbuf, 0)
+    gid = sel + (jnp.arange(B, dtype=sel.dtype)
+                 .reshape((B,) + (1,) * (kbuf.ndim - 1))) * F
+    return fvi_scaled.reshape(B * F, 3, 2)[gid], gid
+
+
+def _soft_mask_edge_terms(fv, x0, y0):
+    """Line coefficients + perpendicular distances for the 3 edges.
+
+    Returns per-edge tuples (A, B, C, up, down, perp, direct).
+    """
+    out = []
+    for i in range(3):
+        x1, y1 = fv[..., i, 0], fv[..., i, 1]
+        x2, y2 = fv[..., (i + 1) % 3, 0], fv[..., (i + 1) % 3, 1]
+        A = y2 - y1
+        B = x1 - x2
+        C = x2 * y1 - x1 * y2
+        up = A * x0 + B * y0 + C
+        down = A * A + B * B
+        x3 = (B * B * x0 - A * B * y0 - A * C) / (down + _EPS)
+        y3 = (A * A * y0 - A * B * x0 - B * C) / (down + _EPS)
+        direct = (x3 - x1) * (x3 - x2) + (y3 - y1) * (y3 - y2)
+        perp = up * up / (down + _EPS)
+        out.append((A, B, C, up, down, perp, direct))
+    return out
+
+
+def _soft_mask_prob(fvi_scaled, kbuf, sigmainv, multiplier, hw):
+    """Per-(pixel, k) influence probability (forward pass core)."""
+    H, W = hw
+    xs, ys = pixel_coords(H, W, multiplier, dtype=fvi_scaled.dtype)
+    x0 = xs[None, None, :, None]
+    y0 = ys[None, :, None, None]
+    fv, gid = _soft_mask_gather(fvi_scaled, kbuf)  # (B, H, W, K, 3, 2)
+    sentinel = 4. * multiplier * multiplier
+    edges = _soft_mask_edge_terms(fv, x0, y0)
+    dists = [jnp.where(e[6] > 0, sentinel, e[5]) for e in edges]
+    for i in range(3):
+        x1, y1 = fv[..., i, 0], fv[..., i, 1]
+        dists.append((x0 - x1) ** 2 + (y0 - y1) ** 2)
+    dall = jnp.stack(dists, axis=-1)  # (B, H, W, K, 6)
+    d = jnp.min(dall, axis=-1)
+    branch = jnp.argmin(dall, axis=-1).astype(jnp.int32)
+    z = (sigmainv / (multiplier * multiplier)) * d
+    prob = jnp.where(kbuf >= 0, jnp.exp(-z), 0.)
+    return prob, branch, gid
+
+
+def _soft_mask_epilogue_fwd(fvi_scaled, kbuf, empty, sigmainv, multiplier,
+                            hw):
+    mask = _soft_mask_epilogue(fvi_scaled, kbuf, empty, sigmainv,
+                               multiplier, hw)
+    return mask, (fvi_scaled, kbuf, empty)
+
+
+def _soft_mask_epilogue_bwd(sigmainv, multiplier, hw, res, g):
+    fvi_scaled, kbuf, empty = res
+    B, F = fvi_scaled.shape[:2]
+    H, W = hw
+    xs, ys = pixel_coords(H, W, multiplier, dtype=fvi_scaled.dtype)
+    x0 = xs[None, None, :, None]
+    y0 = ys[None, :, None, None]
+
+    prob, branch, gid = _soft_mask_prob(fvi_scaled, kbuf, sigmainv,
+                                        multiplier, hw)
+    fv, _ = _soft_mask_gather(fvi_scaled, kbuf)
+
+    # dL/dprob_k = g * prod_{j != k}(1 - p_j), via exclusive cumprods
+    # (exact — no (1-allprob)/(1-p_k) EPS division as in the CUDA kernel,
+    # whose backward is approximate when p_k -> 1).
+    one_minus = 1. - prob
+    left = jnp.concatenate(
+        [jnp.ones_like(one_minus[..., :1]),
+         jnp.cumprod(one_minus[..., :-1], axis=-1)], axis=-1)
+    right = jnp.concatenate(
+        [jnp.cumprod(one_minus[..., :0:-1], axis=-1)[..., ::-1],
+         jnp.ones_like(one_minus[..., :1])], axis=-1)
+    excl = left * right
+    g_eff = jnp.where(empty, g, 0.)
+    dprob = g_eff[..., None] * excl
+    inv = sigmainv / (multiplier * multiplier)
+    # prob = exp(-inv * d) -> dL/dd = -inv * prob * dL/dprob
+    dd = jnp.where(kbuf >= 0, -inv * prob * dprob, 0.)  # (B, H, W, K)
+
+    # accumulate the 6 coordinate grads as flat (B, H, W, K) components:
+    # a rank-3-update scatter ((N, 3, 2) rows) lowers ~6x slower on TPU
+    # than the flat (N, 6) row scatter below.
+    comp = [jnp.zeros_like(dd) for _ in range(6)]  # x0,y0,x1,y1,x2,y2
+    edges = _soft_mask_edge_terms(fv, x0, y0)
+    for e in range(3):
+        A, Bc, C, up, down, perp, direct = edges[e]
+        on = (branch == e) & (direct <= 0)
+        w = jnp.where(on, dd, 0.)
+        dA = 2. * (up * x0 - perp * A) / (down + _EPS)
+        dB = 2. * (up * y0 - perp * Bc) / (down + _EPS)
+        dC = 2. * up / (down + _EPS)
+        x1, y1 = fv[..., e, 0], fv[..., e, 1]
+        x2, y2 = fv[..., (e + 1) % 3, 0], fv[..., (e + 1) % 3, 1]
+        j = (e + 1) % 3
+        comp[2 * e] = comp[2 * e] + w * (dB - dC * y2)
+        comp[2 * e + 1] = comp[2 * e + 1] + w * (dC * x2 - dA)
+        comp[2 * j] = comp[2 * j] + w * (dC * y1 - dB)
+        comp[2 * j + 1] = comp[2 * j + 1] + w * (dA - dC * x1)
+    for v in range(3):
+        on = branch == (3 + v)
+        w = jnp.where(on, dd, 0.)
+        x1, y1 = fv[..., v, 0], fv[..., v, 1]
+        comp[2 * v] = comp[2 * v] + w * 2. * (x1 - x0)
+        comp[2 * v + 1] = comp[2 * v + 1] + w * 2. * (y1 - y0)
+
+    grad_rows = jnp.stack([c.reshape(-1) for c in comp], axis=-1)  # (N, 6)
+    dfvi = jnp.zeros((B * F, 6), fvi_scaled.dtype)
+    dfvi = dfvi.at[gid.reshape(-1)].add(grad_rows).reshape(B, F, 3, 2)
+    return (dfvi,
+            np.zeros(kbuf.shape, jax.dtypes.float0),
+            np.zeros(empty.shape, jax.dtypes.float0))
+
+
+_soft_mask_epilogue.defvjp(_soft_mask_epilogue_fwd, _soft_mask_epilogue_bwd)
 
 
 def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
@@ -157,8 +307,6 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
     """
     B, H, W = selected_face_idx.shape
     fvi_scaled = face_vertices_image * multiplier
-    xs, ys = pixel_coords(H, W, multiplier,
-                          dtype=face_vertices_image.dtype)
     empty = selected_face_idx < 0
 
     if kbuf is None:
@@ -167,19 +315,8 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
                                      multiplier)
     kbuf = jax.lax.stop_gradient(kbuf)  # (B, H, W, knum)
 
-    def epilogue(fvi_b, kbuf_b, empty_b):
-        valid_k = kbuf_b >= 0
-        sel = jnp.maximum(kbuf_b, 0)
-        fv = fvi_b[sel]  # (H, W, knum, 3, 2)
-        x0 = xs[None, :, None]
-        y0 = ys[:, None, None]
-        d = _face_min_sqdist(fv, x0, y0, multiplier)
-        z = sigmainv * d / (multiplier * multiplier)
-        prob = jnp.where(valid_k, jnp.exp(-z), 0.)
-        allprob = 1. - jnp.prod(1. - prob, axis=-1)
-        return jnp.where(empty_b, allprob, 1.)
-
-    return jax.vmap(epilogue)(fvi_scaled, kbuf, empty)
+    return _soft_mask_epilogue(fvi_scaled, kbuf, empty,
+                               float(sigmainv), float(multiplier), (H, W))
 
 
 def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,

@@ -194,11 +194,14 @@ def rasterize_selection(height, width, face_vertices_z, face_vertices_image,
     xs, ys = pixel_coords(height, width, multiplier,
                           dtype=face_vertices_z.dtype)
     if backend == 'jnp':
-        select = jax.vmap(lambda z, i, v: _selection_jnp(
-            z, i, v, xs, ys, height=height, width=width, eps=eps))
-        face_idx = select(
-            jax.lax.stop_gradient(face_vertices_z),
-            jax.lax.stop_gradient(fvi_scaled), valid_faces)
+        # lax.map (sequential) over batch, NOT vmap: batching the inner
+        # pixel-block map lowers much slower on TPU, and one mesh already
+        # saturates the chip.
+        face_idx = jax.lax.map(
+            lambda ziv: _selection_jnp(ziv[0], ziv[1], ziv[2], xs, ys,
+                                       height=height, width=width, eps=eps),
+            (jax.lax.stop_gradient(face_vertices_z),
+             jax.lax.stop_gradient(fvi_scaled), valid_faces))
     elif backend == 'pallas':
         from kaolin_tpu.render.mesh._rasterize_pallas import (
             selection_pallas)
