@@ -5,14 +5,15 @@ Parity: ``kaolin/render/spc/raytrace.py`` + CUDA kernels
 
 TPU-native design (SURVEY.md §3.2, A.4):
 
-* The breadth-first traversal's per-level host-synced dynamic allocation
-  (CUB scan sizing, ``raytrace_cuda.cu:544-560``) becomes a statically
-  bounded masked expansion: per level, every live nugget expands to 8
-  child slots ordered near-to-far by the ``VOXEL_ORDER`` table, then a
-  cumsum scatter compacts live entries (order-preserving, so the output
-  stays depth-sorted per ray — the invariant the pack ops rely on).
-  Per-level capacity = min(8 * prev, num_rays * nodes_at_level, max cap) —
-  all host-known from the pyramid.
+* The breadth-first traversal with per-level host-synced dynamic
+  allocation (CUB scan sizing, ``raytrace_cuda.cu:544-560``) becomes a
+  stackless **t-marching** traversal (``_raytrace_march``): all per-ray
+  state is flat ``(num_rays,)`` vectors inside one ``lax.while_loop``;
+  each step re-descends the octree at the current ray position and
+  either records a leaf hit or skips the empty ancestor voxel.  Hits are
+  emitted in ascending depth per ray — the same near-to-far invariant
+  the reference gets from its ``VOXEL_ORDER`` table (A.4) and that the
+  pack ops rely on.
 * Serial per-pack cumsum/cumprod (``raytrace_cuda.cu:373-483``) become
   log-depth segmented ``associative_scan``; cumprod gradients avoid the
   reference's div-by-feature NaN workaround entirely (product-rule form).
@@ -35,152 +36,148 @@ __all__ = [
     'exponential_integration',
 ]
 
-# near-to-far child visit order per ray-origin octant
-# (raytrace_cuda.cu:48-57)
-VOXEL_ORDER = np.array([
-    [0, 1, 2, 4, 3, 5, 6, 7],
-    [1, 0, 3, 5, 2, 4, 7, 6],
-    [2, 0, 3, 6, 1, 4, 7, 5],
-    [3, 1, 2, 7, 0, 5, 6, 4],
-    [4, 0, 5, 6, 1, 2, 7, 3],
-    [5, 1, 4, 7, 0, 3, 6, 2],
-    [6, 2, 4, 7, 0, 3, 5, 1],
-    [7, 3, 5, 6, 1, 2, 4, 0]], dtype=np.int32)
-
-
-def _ray_aabb(o, d, inv_d, sgn, center, r):
-    """Majercik et al. slab test (``spc_render_utils.cuh:47``).
-
-    All args (..., 3) except r scalar.  Returns (...,) depth: 0 = miss,
-    negative (-r) = origin inside the box.
-    """
-    oc = o - center
-    cmax = jnp.max(jnp.abs(oc), axis=-1)
-    inside = cmax < r
-    winding = jnp.where(inside, -r, r)
-
-    dplane = (winding[..., None] * sgn - oc) * inv_d  # (..., 3)
-    d0, d1, d2 = dplane[..., 0], dplane[..., 1], dplane[..., 2]
-    ltxy = d[..., 1] * d0 + oc[..., 1]
-    ltxz = d[..., 2] * d0 + oc[..., 2]
-    ltyx = d[..., 0] * d1 + oc[..., 0]
-    ltyz = d[..., 2] * d1 + oc[..., 2]
-    ltzx = d[..., 0] * d2 + oc[..., 0]
-    ltzy = d[..., 1] * d2 + oc[..., 1]
-    test0 = (d0 >= 0.) & (jnp.abs(ltxy) <= r) & (jnp.abs(ltxz) <= r)
-    test1 = (d1 >= 0.) & (jnp.abs(ltyx) <= r) & (jnp.abs(ltyz) <= r)
-    test2 = (d2 >= 0.) & (jnp.abs(ltzx) <= r) & (jnp.abs(ltzy) <= r)
-    depth = jnp.where(test0, d0, jnp.where(test1, d1,
-                                           jnp.where(test2, d2, 0.)))
-    return jnp.where(inside, winding, depth)
-
-
-def _ray_sgn(d):
-    # signbit -> +1, else -1 (spc_render_utils.cuh:21)
-    return jnp.where(jnp.signbit(d), 1., -1.)
-
-
-def _compact(mask, arrays, out_cap):
-    """Order-preserving compaction of masked rows into out_cap slots.
-
-    Implemented as an argsort on (invalid, position) keys — a vectorized
-    sort on TPU, where a scatter would lower to a serial loop.
-    """
-    n = mask.shape[0]
-    big = n + 1
-    keys = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), big)
-    order = jnp.argsort(keys)  # valid rows first, original order kept
-    take = min(out_cap, n)
-    sel = order[:take]
-    sel_valid = keys[sel] < big
-    outs = []
-    for a, fill in arrays:
-        picked = jnp.where(
-            sel_valid.reshape((-1,) + (1,) * (a.ndim - 1)), a[sel], fill)
-        if take < out_cap:
-            pad_width = ((0, out_cap - take),) + ((0, 0),) * (a.ndim - 1)
-            picked = jnp.pad(picked, pad_width, constant_values=fill)
-        outs.append(picked)
-    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), out_cap)
-    return outs, count
-
 
 @functools.partial(jax.jit, static_argnames=(
-    'level', 'return_depth', 'with_exit', 'caps'))
-def _raytrace_impl(octree, point_hierarchy, exsum, origin, direction,
-                   level, return_depth, with_exit, caps):
-    num_rays = origin.shape[0]
-    inv_d = 1.0 / (direction + 1e-8)
-    sgn = _ray_sgn(direction)
-    exit_sgn = _ray_sgn(-direction)
-    ph = point_hierarchy.astype(jnp.int32)
+    'level', 'max_hits_per_ray', 'max_steps'))
+def _raytrace_march(octree, exsum, origin, direction, level,
+                    max_hits_per_ray, max_steps):
+    """Stackless t-marching octree traversal (all state is flat (NR,)).
+
+    Replaces the reference's breadth-first nugget expansion
+    (``raytrace_cuda.cu:485-607``, CUB-scan-sized per level — a host-synced
+    dynamic-shape pattern XLA can't express efficiently).  Each step, every
+    ray re-descends the octree (``identify`` walk, ``spc_utils.cuh:32``) at
+    its current position ``o + (t + eps) * d``; a full path to the target
+    level is a leaf hit (recorded if its entry depth > 0, CUDA parity for
+    inside-origins); a broken path yields the *empty* ancestor voxel whose
+    exit advances ``t`` — hierarchical empty-space skipping.  Hits are
+    emitted in ascending-t order per ray, preserving the near-to-far
+    invariant (A.4) that the pack ops rely on.
+
+    Returns:
+        pidx (NR, K) int32 (-1 pad), t_in (NR, K), t_out (NR, K),
+        nhit (NR,) int32.
+    """
+    NR = origin.shape[0]
+    K = max_hits_per_ray
+    L = level
+    o = origin
+    d = direction
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    oct_i32 = octree.astype(jnp.int32)
     exsum = exsum.astype(jnp.int32)
-    voxel_order = jnp.asarray(VOXEL_ORDER)
+    eps = 1e-5
 
-    ridx = jnp.arange(num_rays, dtype=jnp.int32)
-    pidx = jnp.zeros((num_rays,), dtype=jnp.int32)
-    valid = jnp.ones((num_rays,), dtype=bool)
+    def slab(lo, hi):
+        t0 = (lo - o) * inv_d
+        t1 = (hi - o) * inv_d
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        return t_near, t_far
 
-    for l in range(level):
-        r = 1.0 / (1 << l)
-        centers = ph[pidx] * (2.0 * r) + r - 1.0  # (n, 3)
-        o = origin[ridx]
-        d = direction[ridx]
-        depth = _ray_aabb(o, d, inv_d[ridx], sgn[ridx], centers, r)
-        hit = valid & (depth != 0.)
+    # root box [-1, 1]^3
+    root_near, root_far = slab(jnp.full_like(o, -1.), jnp.ones_like(o))
+    t0 = jnp.maximum(root_near, 0.)
+    done0 = root_far <= t0
 
-        bits = octree[pidx].astype(jnp.int32)
-        # ray-origin octant -> child visit order
-        org01 = 0.5 * o + 0.5
-        rel = org01 - (ph[pidx].astype(origin.dtype) + 0.5) * r
-        code = ((rel[:, 0] > 0).astype(jnp.int32) * 4
-                + (rel[:, 1] > 0).astype(jnp.int32) * 2
-                + (rel[:, 2] > 0).astype(jnp.int32))
-        order = voxel_order[code]  # (n, 8) child ids near-to-far
+    state = dict(
+        t=t0,
+        done=done0,
+        nhit=jnp.zeros((NR,), jnp.int32),
+        steps=jnp.zeros((), jnp.int32),
+        pidx=jnp.full((NR, K), -1, jnp.int32),
+        t_in=jnp.zeros((NR, K), o.dtype),
+        t_out=jnp.zeros((NR, K), o.dtype),
+    )
 
-        child_bit = (bits[:, None] >> order) & 1  # (n, 8)
-        rank = jax.lax.population_count(
-            (bits[:, None] & ((2 << order) - 1)).astype(jnp.uint32)
-        ).astype(jnp.int32)
-        child_pidx = exsum[pidx][:, None] + rank  # (n, 8)
-        child_valid = hit[:, None] & (child_bit == 1)
+    def cond(s):
+        return (~jnp.all(s['done'])) & (s['steps'] < max_steps)
 
-        flat_mask = child_valid.reshape(-1)
-        flat_pidx = child_pidx.reshape(-1)
-        flat_ridx = jnp.repeat(ridx, 8, total_repeat_length=ridx.shape[0] * 8)
-        (ridx, pidx, valid), _ = _compact(
-            flat_mask,
-            [(flat_ridx, 0), (flat_pidx, 0),
-             (jnp.ones_like(flat_mask), False)], caps[l])
+    def body(s):
+        t = s['t']
+        pos = o + (t + eps)[:, None] * d
+        outside = jnp.any(jnp.abs(pos) >= 1., axis=-1)
+        done = s['done'] | outside
 
-    # final level: depth test
-    r = 1.0 / (1 << level)
-    centers = ph[pidx] * (2.0 * r) + r - 1.0
-    o = origin[ridx]
-    d = direction[ridx]
-    depth_in = _ray_aabb(o, d, inv_d[ridx], sgn[ridx], centers, r)
+        # quantize to target-level integer coords
+        q = jnp.clip(((pos + 1.) * (0.5 * (1 << L))).astype(jnp.int32),
+                     0, (1 << L) - 1)
+
+        # identify walk, tracking the level where the path dies
+        ord_ = jnp.zeros((NR,), jnp.int32)
+        alive = ~done
+        fail_level = jnp.full((NR,), L + 1, jnp.int32)
+        for l in range(L):
+            depth_shift = L - l - 1
+            cbits = (q >> depth_shift) & 1
+            child = (cbits[:, 0] << 2) | (cbits[:, 1] << 1) | cbits[:, 2]
+            bits = oct_i32[jnp.clip(ord_, 0, oct_i32.shape[0] - 1)]
+            has = ((bits >> child) & 1) == 1
+            rank = jax.lax.population_count(
+                (bits & ((2 << child) - 1)).astype(jnp.uint32)
+            ).astype(jnp.int32)
+            new_ord = exsum[jnp.clip(ord_, 0, exsum.shape[0] - 1)] + rank
+            newly_dead = alive & ~has
+            fail_level = jnp.where(newly_dead, l + 1, fail_level)
+            alive = alive & has
+            ord_ = jnp.where(alive, new_ord, ord_)
+
+        hit = alive  # full path to level L exists
+        # voxel to advance through: the leaf (hit) or the empty ancestor
+        sv = jnp.where(hit, L, fail_level)  # (NR,)
+        qv = q >> (L - jnp.minimum(sv, L))[:, None]
+        rv = jnp.exp2(-sv.astype(o.dtype))  # half voxel size
+        lo = qv.astype(o.dtype) * (2. * rv)[:, None] - 1.
+        hi = lo + (2. * rv)[:, None]
+        t_near, t_far = slab(lo, hi)
+
+        record = hit & ~done & (t_near > 0.) & (s['nhit'] < K)
+        kslot = jax.nn.one_hot(s['nhit'], K, dtype=bool) & record[:, None]
+        pidx = jnp.where(kslot, ord_[:, None], s['pidx'])
+        t_in = jnp.where(kslot, t_near[:, None], s['t_in'])
+        t_out = jnp.where(kslot, t_far[:, None], s['t_out'])
+        nhit = s['nhit'] + record.astype(jnp.int32)
+        done = done | (nhit >= K)
+
+        # monotone advance to the voxel exit
+        t_new = jnp.maximum(t_far, t + eps)
+        t = jnp.where(done, t, t_new)
+        return dict(t=t, done=done, nhit=nhit, steps=s['steps'] + 1,
+                    pidx=pidx, t_in=t_in, t_out=t_out)
+
+    s = jax.lax.while_loop(cond, body, state)
+    return s['pidx'], s['t_in'], s['t_out'], s['nhit']
+
+
+@functools.partial(jax.jit, static_argnames=('out_cap', 'with_exit'))
+def _pack_nuggets(pidx, t_in, t_out, nhit, out_cap, with_exit):
+    """Compact (NR, K) padded per-ray hits into the reference's packed
+    ray-major nugget list — gather-only (offsets via cumsum +
+    searchsorted), no scatter, no sort."""
+    NR, K = pidx.shape
+    offsets = jnp.cumsum(nhit) - nhit  # exclusive
+    total = jnp.sum(nhit)
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    ray = jnp.searchsorted(offsets, j, side='right').astype(jnp.int32) - 1
+    ray = jnp.clip(ray, 0, NR - 1)
+    k = j - offsets[ray]
+    valid = j < total
+    src = ray * K + jnp.clip(k, 0, K - 1)
+    out_ridx = jnp.where(valid, ray, -1)
+    out_pidx = jnp.where(valid, pidx.reshape(-1)[src], -1)
+    d_in = jnp.where(valid, t_in.reshape(-1)[src], 0.)
     if with_exit:
-        depth_out = _ray_aabb(o, d, inv_d[ridx], exit_sgn[ridx], centers, r)
-        keep = valid & (depth_in > 0.) & (depth_out > 0.)
-    else:
-        keep = valid & (depth_in > 0.)
-
-    arrays = [(ridx, -1), (pidx, -1), (depth_in, 0.)]
-    if with_exit:
-        arrays.append((depth_out, 0.))
-    outs, count = _compact(keep, arrays, caps[level])
-    if with_exit:
-        out_ridx, out_pidx, d_in, d_out = outs
+        d_out = jnp.where(valid, t_out.reshape(-1)[src], 0.)
         depths = jnp.stack([d_in, d_out], axis=-1)
     else:
-        out_ridx, out_pidx, d_in = outs
         depths = d_in[:, None]
-    return out_ridx, out_pidx, depths, count
+    return out_ridx, out_pidx, depths, total
 
 
 def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
                        direction, level, return_depth=True, with_exit=False,
-                       max_nuggets=None, trim=True):
+                       max_nuggets=None, trim=True, max_hits_per_ray=None,
+                       max_steps=None):
     """Trace rays against an SPC octree.
 
     Parity: ``kaolin/render/spc/raytrace.py:31``.  Returns intersections
@@ -207,26 +204,21 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
         depths (num_nuggets, 1) or (num_nuggets, 2) if ``with_exit``.
     """
     num_rays = origin.shape[0]
-    pyr = np.asarray(pyramid)
-    # pyramid may be traced; require host numpy for capacities
-    nodes_at = pyr[0]
     if max_nuggets is None:
         max_nuggets = num_rays * 8
-    caps = []
-    prev = num_rays
-    for l in range(1, level + 2):
-        n_nodes = int(nodes_at[min(l, len(nodes_at) - 1)])
-        cap = min(prev * 8, num_rays * max(n_nodes, 1), max_nuggets)
-        # round up for better compiled-shape reuse
-        cap = int(np.ceil(cap / 128) * 128)
-        caps.append(cap)
-        prev = cap
-    caps[-1] = caps[-2] if level > 0 else caps[-1]
+    if max_hits_per_ray is None:
+        # a ray crosses at most 3 * 2^level leaf voxels; cap for memory
+        max_hits_per_ray = min(3 << level, 256)
+    if max_steps is None:
+        # backstop only — the while_loop exits when all rays are done
+        max_steps = 6 * (1 << level) + 64
 
-    ridx, pidx, depths, count = _raytrace_impl(
-        octree, point_hierarchy, exsum,
+    pidx_pad, t_in, t_out, nhit = _raytrace_march(
+        jnp.asarray(octree), jnp.asarray(exsum),
         jnp.asarray(origin), jnp.asarray(direction),
-        level, return_depth, with_exit, tuple(caps))
+        level, int(max_hits_per_ray), int(max_steps))
+    ridx, pidx, depths, count = _pack_nuggets(
+        pidx_pad, t_in, t_out, nhit, int(max_nuggets), with_exit)
     if trim:
         n = int(count)
         ridx, pidx, depths = ridx[:n], pidx[:n], depths[:n]
