@@ -93,13 +93,14 @@ def main():
     results = {}
     compile_times = {}
     errors = {}
-    backends = ('jnp', 'pallas') if os.environ.get(
-        'KAOLIN_TPU_BENCH_PALLAS') else ('jnp',)
+    import jax
+    backends = (('jnp', 'fused') if jax.default_backend() == 'tpu'
+                else ('jnp',))
     for backend in backends:
         try:
             step, params = build(backend, height, width)
             results[backend], compile_times[backend] = timed(step, params)
-        except Exception as e:  # pallas may be unavailable off-TPU
+        except Exception as e:
             errors[backend] = f"{type(e).__name__}: {e}"
     if not results:
         print(json.dumps({"metric": "dibr_fwd_bwd_512", "value": 0.0,

@@ -78,18 +78,29 @@ def _prepare(params, views, faces):
 
 def compute_selection(params: InverseRenderParams, views: CameraViews,
                       faces, height, width, backend='auto', boxlen=0.02,
-                      knum=30):
-    """Run both non-differentiable selection passes (z-buffer + soft-mask
-    k-buffer) as standalone compiled programs.
+                      knum=30, sigmainv=7000.):
+    """Run both non-differentiable selection passes (z-buffer + soft-mask)
+    as standalone compiled programs.
 
     Keeping these out of the training-step jit keeps each XLA program
     small (fast [re]compiles) and lets the selection result be reused.
 
     Returns:
-        (face_idx (B, H, W), kbuf (B, H, W, knum)).
+        (face_idx (B, H, W), aux) where ``aux`` is the soft-mask selection
+        state: a (B, H, W, knum) k-buffer for the 'jnp' backend, or a
+        :class:`~kaolin_tpu.render.mesh.FusedSelection` for 'fused'
+        (both accepted by ``dibr_soft_mask(kbuf=...)``).
     """
+    from kaolin_tpu.render.mesh.rasterization import _resolve_backend
     face_vertices_camera, face_vertices_image, face_normals = \
         jax.lax.stop_gradient(_prepare(params, views, faces))
+    backend = _resolve_backend(backend, height, width)
+    if backend == 'fused':
+        sel = mesh_render.fused_selection(
+            face_vertices_camera[..., 2], face_vertices_image,
+            face_normals[..., 2] >= 0., height, width,
+            boxlen=boxlen, sigmainv=sigmainv)
+        return sel.face_idx, sel
     face_idx = mesh_render.rasterize_selection(
         height, width, face_vertices_camera[..., 2], face_vertices_image,
         valid_faces=face_normals[..., 2] >= 0., backend=backend)

@@ -24,7 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from kaolin_tpu.render.mesh.rasterization import pixel_coords, rasterize
+from kaolin_tpu.render.mesh.rasterization import (
+    _resolve_backend, pixel_coords, rasterize)
 
 __all__ = ['dibr_soft_mask', 'dibr_soft_mask_select',
            'dibr_rasterization']
@@ -301,6 +302,10 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
         boxlen: influence margin around each face bbox.
         knum: max faces influencing one pixel.
         multiplier: internal coordinate scale.
+        kbuf: precomputed selection — either the ``(B, H, W, knum)``
+            k-buffer from :func:`dibr_soft_mask_select`, or a
+            :class:`~kaolin_tpu.render.mesh._fused.FusedSelection` from
+            the fused TPU engine (uncapped product; ``knum`` ignored).
 
     Returns:
         ``(B, H, W)`` soft mask in [0, 1].
@@ -308,6 +313,11 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
     B, H, W = selected_face_idx.shape
     fvi_scaled = face_vertices_image * multiplier
     empty = selected_face_idx < 0
+
+    from kaolin_tpu.render.mesh._fused import FusedSelection, softmask_fused
+    if isinstance(kbuf, FusedSelection):
+        return softmask_fused(fvi_scaled, kbuf,
+                              (H, W, float(multiplier), float(sigmainv)))
 
     if kbuf is None:
         kbuf = dibr_soft_mask_select(face_vertices_image,
@@ -331,10 +341,26 @@ def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
     Returns:
         (image_features, soft_mask, face_idx).
     """
+    _multiplier = 1000. if multiplier is None else multiplier
+    backend = _resolve_backend(rast_backend, height, width)
+    if backend == 'fused':
+        # one fused selection pass yields BOTH the z-buffer winner and the
+        # soft-mask product — the epilogues reuse it
+        from kaolin_tpu.render.mesh._fused import fused_selection
+        sel = fused_selection(
+            face_vertices_z, face_vertices_image, face_normals_z >= 0.,
+            height, width, _multiplier, boxlen=boxlen, sigmainv=sigmainv,
+            eps=1e-8 if eps is None else eps)
+        interpolated_features, face_idx = rasterize(
+            height, width, face_vertices_z, face_vertices_image,
+            face_features, multiplier=multiplier, eps=eps,
+            precomputed_face_idx=sel.face_idx)
+        soft_mask = dibr_soft_mask(face_vertices_image, face_idx, sigmainv,
+                                   boxlen, knum, _multiplier, kbuf=sel)
+        return interpolated_features, soft_mask, face_idx
     interpolated_features, face_idx = rasterize(
         height, width, face_vertices_z, face_vertices_image, face_features,
-        face_normals_z >= 0., multiplier, eps, rast_backend)
-    _multiplier = 1000. if multiplier is None else multiplier
+        face_normals_z >= 0., multiplier, eps, backend)
     soft_mask = dibr_soft_mask(face_vertices_image, face_idx, sigmainv,
                                boxlen, knum, _multiplier)
     return interpolated_features, soft_mask, face_idx

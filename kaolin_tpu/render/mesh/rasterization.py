@@ -12,7 +12,7 @@ algebra, atomics for the feature grads).  Here rasterization is split into:
 1. a **non-differentiable selection pass** computing the winning face per
    pixel (the z-buffer argmax — piecewise constant, so it carries no
    gradient).  Backends: ``'jnp'`` (chunked brute force, runs anywhere) and
-   ``'pallas'`` (TPU kernel, pixel-tile x face-chunk sweep in VMEM).
+   ``'fused'`` (tile-binned Pallas TPU kernel, :mod:`._fused`).
 2. a **differentiable epilogue**: gather the selected face per pixel,
    recompute the normalized barycentric weights with the same
    ``copysign(eps)`` rule (``rasterization_cuda.cu:141-142``), and
@@ -32,7 +32,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['rasterize', 'rasterize_selection']
+__all__ = ['rasterize', 'rasterize_selection', 'fused_backend_supported']
+
+
+def fused_backend_supported(height, width):
+    """Whether the 'fused' Pallas backend supports this image size.
+
+    Always true — the engine pads the tile grid internally and crops.
+    """
+    return height >= 1 and width >= 1
+
+
+def _resolve_backend(backend, height, width):
+    if backend == 'auto':
+        return 'fused' if jax.default_backend() == 'tpu' else 'jnp'
+    return backend
 
 
 def pixel_coords(height, width, multiplier, dtype=jnp.float32):
@@ -188,8 +202,7 @@ def rasterize_selection(height, width, face_vertices_z, face_vertices_image,
     B, F = face_vertices_z.shape[:2]
     if valid_faces is None:
         valid_faces = jnp.ones((B, F), dtype=bool)
-    if backend == 'auto':
-        backend = ('pallas' if jax.default_backend() == 'tpu' else 'jnp')
+    backend = _resolve_backend(backend, height, width)
     fvi_scaled = face_vertices_image * multiplier
     xs, ys = pixel_coords(height, width, multiplier,
                           dtype=face_vertices_z.dtype)
@@ -202,16 +215,15 @@ def rasterize_selection(height, width, face_vertices_z, face_vertices_image,
                                        height=height, width=width, eps=eps),
             (jax.lax.stop_gradient(face_vertices_z),
              jax.lax.stop_gradient(fvi_scaled), valid_faces))
-    elif backend == 'pallas':
-        from kaolin_tpu.render.mesh._rasterize_pallas import (
-            selection_pallas)
-        face_idx = selection_pallas(
-            jax.lax.stop_gradient(face_vertices_z),
-            jax.lax.stop_gradient(fvi_scaled),
-            valid_faces, height, width, float(multiplier), eps)
+    elif backend == 'fused':
+        from kaolin_tpu.render.mesh._fused import fused_selection
+        face_idx = fused_selection(
+            face_vertices_z, face_vertices_image, valid_faces,
+            height, width, float(multiplier), eps=eps,
+            with_softmask=False).face_idx
     else:
         raise ValueError(f'"{backend}" is not a valid backend, '
-                         'valid choices are ["jnp", "pallas", "auto"]')
+                         'valid choices are ["jnp", "fused", "auto"]')
     return jax.lax.stop_gradient(face_idx)
 
 
@@ -236,7 +248,7 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
         valid_faces: optional ``(B, F)`` bool mask.
         multiplier: coordinate scale to avoid numeric issues (default 1000).
         eps: barycentric normalization epsilon (default 1e-8).
-        backend: 'jnp', 'pallas', or 'auto' (pallas on TPU else jnp).
+        backend: 'jnp', 'fused', or 'auto' (fused on TPU else jnp).
         with_weights: also return the per-pixel barycentric weights.
 
     Returns:
