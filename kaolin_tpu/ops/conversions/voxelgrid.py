@@ -4,20 +4,21 @@ Parity: ``kaolin/ops/conversions/voxelgrid.py`` (reference).
 
 * :func:`voxelgrids_to_cubic_meshes` — exact port of the boundary-face
   ("Cubify") construction (reference :56-155).
-* :func:`voxelgrids_to_trianglemeshes` — iso-surface extraction.  The
-  reference uses table-driven Lorensen marching cubes
-  (``csrc/ops/conversions/unbatched_mcube``); here the iso-surface is
-  extracted by marching tetrahedra over a 6-tet decomposition of each
-  cell — same surface, slightly denser triangulation (vertices may also
-  lie on cell diagonals).  Host-side (as is the reference's: its CUDA op
-  has no backward).
+* :func:`voxelgrids_to_trianglemeshes` — iso-surface extraction via
+  table-driven Lorensen marching cubes (jit-able XLA core in
+  ``_mcube.py``), reproducing the reference CUDA op's unique-vertex
+  output exactly (``csrc/ops/conversions/unbatched_mcube``).
+* :func:`voxelgrids_to_trianglemeshes_mt` — the earlier marching-
+  tetrahedra variant (6-tet cell decomposition; denser triangulation),
+  kept as an alternative surface extractor.
 """
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['voxelgrids_to_cubic_meshes', 'voxelgrids_to_trianglemeshes']
+__all__ = ['voxelgrids_to_cubic_meshes', 'voxelgrids_to_trianglemeshes',
+           'voxelgrids_to_trianglemeshes_mt', 'unbatched_marching_cubes']
 
 _VERTS_TEMPLATE = np.array([
     [0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
@@ -100,12 +101,17 @@ def voxelgrids_to_cubic_meshes(voxelgrids, is_trimesh=True):
     return verts_batch, faces_batch
 
 
-def voxelgrids_to_trianglemeshes(voxelgrids, iso_value=0.5):
-    """Extract iso-surface triangle meshes from voxelgrids.
+def _next_pow2(n):
+    return 1 << max(4, int(n - 1).bit_length())
 
-    Parity API: ``kaolin/ops/conversions/voxelgrid.py:169``.  Vertex
-    coordinates live in the padded-grid frame (voxel (0,0,0) center at
-    (1,1,1)), matching the reference convention.
+
+def voxelgrids_to_trianglemeshes(voxelgrids, iso_value=0.5):
+    """Extract iso-surface triangle meshes via marching cubes.
+
+    Parity: ``kaolin/ops/conversions/voxelgrid.py:169`` — matches the
+    reference CUDA op's exact vertex/face ordering (unique-vertex
+    Lorensen MC, see ``_mcube.py``).  Vertex coordinates live in the
+    padded-grid frame (voxel (0, 0, 0) center at (1, 1, 1)).
 
     Args:
         voxelgrids: ``(B, X, Y, Z)`` occupancy / density values.
@@ -113,6 +119,41 @@ def voxelgrids_to_trianglemeshes(voxelgrids, iso_value=0.5):
 
     Returns:
         (list of verts (V, 3) float, list of faces (F, 3) int).
+    """
+    from kaolin_tpu.ops.conversions._mcube import (
+        unbatched_marching_cubes, _CORNERS, _NPART, _NTRI)
+    grids = np.asarray(voxelgrids).astype(np.float32)
+    B = grids.shape[0]
+    padded = np.pad(grids, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    verts_list, faces_list = [], []
+    for b in range(B):
+        g = padded[b]
+        if np.all(grids[b] == 0):
+            verts_list.append(jnp.zeros((0, 3)))
+            faces_list.append(jnp.zeros((0, 3), dtype=jnp.int32))
+            continue
+        # host pre-count to size the static output buffers
+        gext = np.pad(g, ((0, 1),) * 3, mode='edge')
+        D0, D1, D2 = g.shape
+        ci = np.zeros((D0, D1, D2), np.int32)
+        for k, (o0, o1, o2) in enumerate(_CORNERS):
+            ci |= (gext[o0:o0 + D0, o1:o1 + D1, o2:o2 + D2]
+                   < iso_value).astype(np.int32) << k
+        nv = int(_NPART[ci].sum())
+        nf = int(_NTRI[ci].sum())
+        verts, faces, _, _ = unbatched_marching_cubes(
+            jnp.asarray(g), iso_value, _next_pow2(nv), _next_pow2(nf))
+        verts_list.append(verts[:nv])
+        faces_list.append(faces[:nf])
+    return verts_list, faces_list
+
+
+def voxelgrids_to_trianglemeshes_mt(voxelgrids, iso_value=0.5):
+    """Iso-surface extraction by marching tetrahedra (6-tet cells).
+
+    Alternative extractor: same surface as marching cubes but a denser
+    triangulation with vertices also on cell diagonals.  Same coordinate
+    convention as :func:`voxelgrids_to_trianglemeshes`.
     """
     from kaolin_tpu.ops.conversions.tetmesh import (
         _unbatched_marching_tetrahedra)
