@@ -18,53 +18,46 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['deftet_sparse_render']
+__all__ = ['deftet_sparse_render', '_naive_deftet_sparse_render']
 
 
-@functools.partial(jax.jit, static_argnames=('knum', 'eps', 'face_chunk'))
+@functools.partial(jax.jit, static_argnames=('knum', 'eps', 'pixel_chunk'))
 def _deftet_select(pixel_coords, render_ranges, face_vertices_z,
                    face_vertices_image, valid_faces, knum, eps,
-                   face_chunk=1024):
+                   pixel_chunk=4096):
     """First-knum covering faces per pixel (single mesh), mesh order.
+
+    One wide ``top_k`` over the full face axis per pixel chunk — the
+    single-sort pattern the DIB-R selection uses (a running per-chunk
+    top_k merge costs one sort pass per face chunk).
 
     Returns:
         (P, knum) int32 face ids (-1 pad).
     """
     F = face_vertices_z.shape[0]
     P = pixel_coords.shape[0]
-    fpad = (-F) % face_chunk
-    fvz = jnp.pad(face_vertices_z, ((0, fpad), (0, 0)))
-    fvi = jnp.pad(face_vertices_image, ((0, fpad), (0, 0), (0, 0)))
-    valid = jnp.pad(valid_faces, (0, fpad))
-    num_fchunks = (F + fpad) // face_chunk
+    ppad = (-P) % pixel_chunk
+    pc = jnp.pad(pixel_coords, ((0, ppad), (0, 0)))
+    rr = jnp.pad(render_ranges, ((0, ppad), (0, 0)))
+    num_pchunks = (P + ppad) // pixel_chunk
 
-    x0 = pixel_coords[:, 0:1]  # (P, 1)
-    y0 = pixel_coords[:, 1:2]
-    zmin = render_ranges[:, 0:1]
-    zmax = render_ranges[:, 1:2]
+    face_min = jnp.min(face_vertices_image, axis=1)  # (F, 2)
+    face_max = jnp.max(face_vertices_image, axis=1)
+    ax, ay = face_vertices_image[:, 0, 0], face_vertices_image[:, 0, 1]
+    bx, by = face_vertices_image[:, 1, 0], face_vertices_image[:, 1, 1]
+    cx, cy = face_vertices_image[:, 2, 0], face_vertices_image[:, 2, 1]
+    F_cap = F + 1
 
-    face_min = jnp.min(fvi, axis=1)  # (F, 2)
-    face_max = jnp.max(fvi, axis=1)
-
-    # first-k-by-face-order as a running top_k merge (vectorized sort;
-    # scatters would lower to serial loops on TPU)
-    F_cap = F + fpad + 1
-
-    def face_step(i, best_keys):
-        lo = i * face_chunk
-        fvi_c = jax.lax.dynamic_slice_in_dim(fvi, lo, face_chunk)
-        fvz_c = jax.lax.dynamic_slice_in_dim(fvz, lo, face_chunk)
-        fmin = jax.lax.dynamic_slice_in_dim(face_min, lo, face_chunk)
-        fmax = jax.lax.dynamic_slice_in_dim(face_max, lo, face_chunk)
-        valid_c = jax.lax.dynamic_slice_in_dim(valid, lo, face_chunk)
-
-        in_bbox = ((x0 >= fmin[None, :, 0]) & (x0 < fmax[None, :, 0])
-                   & (y0 >= fmin[None, :, 1]) & (y0 < fmax[None, :, 1])
-                   & valid_c[None, :])  # (P, fc)
-
-        ax, ay = fvi_c[:, 0, 0], fvi_c[:, 0, 1]
-        bx, by = fvi_c[:, 1, 0], fvi_c[:, 1, 1]
-        cx, cy = fvi_c[:, 2, 0], fvi_c[:, 2, 1]
+    def pixel_step(chunk):
+        pcc, rrc = chunk
+        x0 = pcc[:, 0:1]  # (pc, 1)
+        y0 = pcc[:, 1:2]
+        zmin = rrc[:, 0:1]
+        zmax = rrc[:, 1:2]
+        in_bbox = ((x0 >= face_min[None, :, 0]) & (x0 < face_max[None, :, 0])
+                   & (y0 >= face_min[None, :, 1])
+                   & (y0 < face_max[None, :, 1])
+                   & valid_faces[None, :])  # (pc, F)
         a_ex, a_ey = ax[None] - x0, ay[None] - y0
         b_ex, b_ey = bx[None] - x0, by[None] - y0
         c_ex, c_ey = cx[None] - x0, cy[None] - y0
@@ -75,25 +68,28 @@ def _deftet_select(pixel_coords, render_ranges, face_vertices_z,
         norm = norm + eps * jnp.sign(norm)
         w0, w1, w2 = w0 / norm, w1 / norm, w2 / norm
         inside = (w0 >= 0.) & (w1 >= 0.) & (w2 >= 0.)
-        depth = (w0 * fvz_c[None, :, 0] + w1 * fvz_c[None, :, 1]
-                 + w2 * fvz_c[None, :, 2])
+        depth = (w0 * face_vertices_z[None, :, 0]
+                 + w1 * face_vertices_z[None, :, 1]
+                 + w2 * face_vertices_z[None, :, 2])
         in_range = (depth > zmin) & (depth < zmax)
-        covered = in_bbox & inside & in_range  # (P, fc)
-
-        fids = (jnp.arange(face_chunk, dtype=jnp.int32) + lo)[None, :]
+        covered = in_bbox & inside & in_range  # (pc, F)
+        fids = jnp.arange(F, dtype=jnp.int32)[None, :]
         keys = jnp.where(covered, F_cap - fids, 0)
-        merged = jnp.concatenate([best_keys, keys], axis=1)
-        best_keys, _ = jax.lax.top_k(merged, knum)
-        return best_keys
+        best, _ = jax.lax.top_k(keys, min(knum, F))
+        if knum > F:
+            best = jnp.pad(best, ((0, 0), (0, knum - F)))
+        return best
 
-    best0 = jnp.zeros((P, knum), dtype=jnp.int32)
-    best = jax.lax.fori_loop(0, num_fchunks, face_step, best0)
+    best = jax.lax.map(
+        pixel_step, (pc.reshape(num_pchunks, pixel_chunk, 2),
+                     rr.reshape(num_pchunks, pixel_chunk, 2)))
+    best = best.reshape(-1, knum)[:P]
     return jnp.where(best > 0, F_cap - best, -1)
 
 
 def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
                          face_vertices_image, face_features, knum=300,
-                         eps=1e-8):
+                         valid_faces=None, eps=1e-8):
     """Render all intersections per pixel, depth-sorted (k-buffer).
 
     Parity: ``kaolin/render/mesh/deftet.py:338``.
@@ -106,6 +102,9 @@ def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
         face_vertices_image: ``(B, F, 3, 2)``.
         face_features: ``(B, F, 3, D)`` or list of such.
         knum: max intersections kept per pixel.
+        valid_faces: optional ``(B, F)`` bool mask of faces to render
+            (the DMTet pipeline masks tet faces here; reference
+            ``deftet.py:338`` kwarg).
         eps: barycentric normalization epsilon.
 
     Returns:
@@ -116,7 +115,8 @@ def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
     features = (jnp.concatenate(face_features, axis=-1) if is_list
                 else face_features)
     B, F = face_vertices_z.shape[:2]
-    valid = jnp.ones((B, F), dtype=bool)
+    valid = (jnp.ones((B, F), dtype=bool) if valid_faces is None
+             else jnp.asarray(valid_faces, dtype=bool))
 
     kbuf = jax.vmap(lambda pc, rr, fz, fi, v: _deftet_select(
         pc, rr, fz, fi, v, knum=knum, eps=eps))(
@@ -171,3 +171,103 @@ def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
             cur += f.shape[-1]
         feats = out
     return feats, sorted_idx
+
+
+def _naive_deftet_sparse_render(pixel_coords, render_ranges,
+                                face_vertices_z, face_vertices_image,
+                                face_features, knum=300, valid_faces=None,
+                                eps=1e-8):
+    """Naive dense reference implementation of
+    :func:`deftet_sparse_render` (the reference keeps this in-library
+    as the CUDA kernel's cross-check, ``render/mesh/deftet.py:101-267``;
+    its rasterization gradient tests also compare against it).
+
+    Differences from :func:`deftet_sparse_render`, matching the
+    reference's: faces per pixel are the first ``knum`` by *depth*
+    order (the k-buffer keeps the first ``knum`` by mesh order), so
+    results agree whenever ``knum`` covers all intersections; and the
+    interpolation uses the reference's k1/k2/k3 epilogue
+    (``w0 = 1 - w1 - w2``).
+
+    Fully dense (P, F) math — O(pixels x faces) memory.
+    """
+    is_list = isinstance(face_features, (list, tuple))
+    features = (jnp.concatenate(face_features, axis=-1) if is_list
+                else face_features)
+    B, P = pixel_coords.shape[:2]
+    F = face_vertices_z.shape[1]
+    if valid_faces is None:
+        valid_faces = jnp.ones((B, F), dtype=bool)
+
+    def one_batch(pc, rr, fz, fi, ff, valid):
+        x0 = pc[:, 0:1]
+        y0 = pc[:, 1:2]
+        fmin = jnp.min(fi, axis=1)
+        fmax = jnp.max(fi, axis=1)
+        in_bbox = ((x0 >= fmin[None, :, 0]) & (x0 < fmax[None, :, 0])
+                   & (y0 >= fmin[None, :, 1]) & (y0 < fmax[None, :, 1])
+                   & valid[None, :])
+        ax, ay = fi[:, 0, 0], fi[:, 0, 1]
+        bx, by = fi[:, 1, 0], fi[:, 1, 1]
+        cx, cy = fi[:, 2, 0], fi[:, 2, 1]
+        a_ex, a_ey = ax[None] - x0, ay[None] - y0
+        b_ex, b_ey = bx[None] - x0, by[None] - y0
+        c_ex, c_ey = cx[None] - x0, cy[None] - y0
+        w0 = b_ex * c_ey - b_ey * c_ex
+        w1 = c_ex * a_ey - c_ey * a_ex
+        w2 = a_ex * b_ey - a_ey * b_ex
+        norm = w0 + w1 + w2
+        norm = norm + eps * jnp.sign(norm)
+        w0n, w1n, w2n = w0 / norm, w1 / norm, w2 / norm
+        inside = (w0n >= 0.) & (w1n >= 0.) & (w2n >= 0.)
+        depth = (w0n * fz[None, :, 0] + w1n * fz[None, :, 1]
+                 + w2n * fz[None, :, 2])
+        covered = (in_bbox & inside
+                   & (depth > rr[:, 0:1]) & (depth < rr[:, 1:2]))
+        # first knum by depth (descending = near-to-far), tie -> face id
+        key = jnp.where(covered, depth, -jnp.inf)
+        if knum > key.shape[-1]:
+            key = jnp.pad(key, ((0, 0), (0, knum - key.shape[-1])),
+                          constant_values=-jnp.inf)
+            covered = jnp.pad(covered,
+                              ((0, 0), (0, knum - covered.shape[-1])))
+        order = jnp.argsort(-key, axis=-1, stable=True)[:, :knum]
+        sel_valid = jnp.take_along_axis(covered, order, axis=-1)
+        order = jnp.minimum(order, fz.shape[0] - 1)
+        fidx = jnp.where(sel_valid, order, -1)
+
+        # reference epilogue: k1/k2/k3, w0 = 1 - w1 - w2 (deftet.py:199-257)
+        sel = jnp.maximum(fidx, 0)
+        _ax, _ay = ax[sel], ay[sel]
+        _m = (bx - ax)[sel]
+        _p = (by - ay)[sel]
+        _n = (cx - ax)[sel]
+        _q = (cy - ay)[sel]
+        _k3 = (_m * _q - _n * _p)
+        _k3 = jnp.where(sel_valid, _k3, 1.)
+        _ax = jnp.where(sel_valid, _ax, 0.)
+        _ay = jnp.where(sel_valid, _ay, 0.)
+        _s = pc[:, 0:1] - _ax
+        _t = pc[:, 1:2] - _ay
+        _k1 = _s * _q - _n * _t
+        _k2 = _m * _t - _s * _p
+        norm_eps = eps * jnp.sign(_k3)
+        w1k = _k1 / (_k3 + norm_eps)
+        w2k = _k2 / (_k3 + norm_eps)
+        w0k = 1. - w1k - w2k
+        w = jnp.stack([w0k, w1k, w2k], axis=-1)
+        w = jnp.where(sel_valid[..., None], w, 0.)
+        ffk = jnp.where(sel_valid[..., None, None], ff[sel], 0.)
+        feats = jnp.sum(ffk * w[..., None], axis=-2)
+        return feats, fidx
+
+    feats, fidx = jax.vmap(one_batch)(
+        pixel_coords, render_ranges, face_vertices_z, face_vertices_image,
+        features, valid_faces)
+    if is_list:
+        out, cur = [], 0
+        for f in face_features:
+            out.append(feats[..., cur:cur + f.shape[-1]])
+            cur += f.shape[-1]
+        feats = tuple(out)
+    return feats, fidx

@@ -82,3 +82,72 @@ def test_deftet_feature_list(scene):
         pixel_coords, render_ranges, fvz, fvi, [ff, ff * 2.], knum=2)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1) * 2.,
                                atol=1e-5)
+
+
+class TestNaiveCrossCheck:
+    """k-buffer renderer vs the in-library naive dense reference
+    (reference test strategy: test_rasterization.py:148,216 and the
+    deftet tests compare the CUDA kernel against
+    _naive_deftet_sparse_render)."""
+
+    @pytest.fixture
+    def random_scene(self):
+        rng = np.random.RandomState(7)
+        B, F, P = 2, 60, 40
+        centers = rng.uniform(-0.8, 0.8, (B, F, 1, 2))
+        fvi = jnp.asarray(
+            (centers + rng.uniform(-0.35, 0.35, (B, F, 3, 2))
+             ).astype(np.float32))
+        fvz = jnp.asarray(
+            -rng.uniform(0.5, 3.0, (B, F, 1)).astype(np.float32)
+            * np.ones((1, 1, 3), np.float32)
+            + rng.uniform(-0.05, 0.05, (B, F, 3)).astype(np.float32))
+        ff = jnp.asarray(rng.randn(B, F, 3, 4).astype(np.float32))
+        pixels = jnp.asarray(
+            rng.uniform(-1., 1., (B, P, 2)).astype(np.float32))
+        ranges = jnp.tile(jnp.array([[[-1e4, 0.]]]), (B, P, 1))
+        return pixels, ranges, fvz, fvi, ff
+
+    def test_forward_matches_naive(self, random_scene):
+        from kaolin_tpu.render.mesh.deftet import (
+            _naive_deftet_sparse_render)
+        pixels, ranges, fvz, fvi, ff = random_scene
+        knum = 64  # > max faces per pixel: both orderings agree
+        feats, fidx = deftet_sparse_render(
+            pixels, ranges, fvz, fvi, ff, knum=knum)
+        nfeats, nfidx = _naive_deftet_sparse_render(
+            pixels, ranges, fvz, fvi, ff, knum=knum)
+        np.testing.assert_array_equal(np.asarray(fidx), np.asarray(nfidx))
+        np.testing.assert_allclose(np.asarray(feats), np.asarray(nfeats),
+                                   atol=1e-4)
+
+    def test_gradients_match_naive(self, random_scene):
+        from kaolin_tpu.render.mesh.deftet import (
+            _naive_deftet_sparse_render)
+        pixels, ranges, fvz, fvi, ff = random_scene
+
+        def loss_k(fvi_, fvz_, ff_):
+            feats, _ = deftet_sparse_render(
+                pixels, ranges, fvz_, fvi_, ff_, knum=64)
+            return jnp.sum(feats ** 2)
+
+        def loss_n(fvi_, fvz_, ff_):
+            feats, _ = _naive_deftet_sparse_render(
+                pixels, ranges, fvz_, fvi_, ff_, knum=64)
+            return jnp.sum(feats ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 2))(fvi, fvz, ff)
+        gn = jax.grad(loss_n, argnums=(0, 2))(fvi, fvz, ff)
+        for a, b in zip(gk, gn):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=1e-3)
+
+    def test_valid_faces_mask(self, random_scene):
+        pixels, ranges, fvz, fvi, ff = random_scene
+        B, F = fvz.shape[:2]
+        mask = jnp.asarray(np.arange(F) % 2 == 0)[None].repeat(B, 0)
+        _, fidx = deftet_sparse_render(
+            pixels, ranges, fvz, fvi, ff, knum=64, valid_faces=mask)
+        fi = np.asarray(fidx)
+        hit = fi[fi >= 0]
+        assert hit.size > 0 and (hit % 2 == 0).all()
