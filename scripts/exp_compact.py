@@ -42,7 +42,9 @@ def compact_sort(valid, a, b):
     key = jnp.where(valid, jnp.arange(N, dtype=jnp.int32),
                     jnp.iinfo(jnp.int32).max)
     k, oa, ob = jax.lax.sort((key, a, b), num_keys=1)
-    return oa[:CAP], ob[:CAP]
+    # mask the tail: invalid rows sort to the end with arbitrary payloads
+    ok = jnp.arange(CAP) < jnp.sum(valid.astype(jnp.int32))
+    return jnp.where(ok, oa[:CAP], -1), jnp.where(ok, ob[:CAP], -1)
 
 
 @jax.jit

@@ -33,15 +33,14 @@ t0 = time.perf_counter()
 max_level, pyramids, exsum = scan_octrees(
     jnp.asarray(octree), np.array([octree.shape[0]]))
 print(f'scan: {time.perf_counter()-t0:.2f}s max_level={max_level}', flush=True)
+# full point hierarchy: pidx returned by raytrace indexes into this
+point_hierarchy = generate_points(jnp.asarray(octree), pyramids, exsum)
 
-# camera-style rays: origin ring at z=-2.5 looking at origin, pixel grid
+# camera-style rays: pixel grid at z=-2.5 with slight perspective
 side = int(np.sqrt(NRAYS))
 ys, xs = np.meshgrid(np.linspace(-0.9, 0.9, side),
                      np.linspace(-0.9, 0.9, side), indexing='ij')
 origin = np.stack([xs.ravel(), ys.ravel(), np.full(side * side, -2.5)], -1)
-direction = np.stack([np.zeros(side * side), np.zeros(side * side),
-                      np.ones(side * side)], -1)
-# slight perspective
 direction = np.stack([xs.ravel() * 0.1, ys.ravel() * 0.1,
                       np.ones(side * side)], -1)
 direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
@@ -51,9 +50,10 @@ print(f'rays={origin.shape[0]}', flush=True)
 
 K = int(os.environ.get('K', '32'))
 t0 = time.perf_counter()
+MAX_NUGGETS = origin.shape[0] * K
 ridx, pidx, depths = unbatched_raytrace(
-    octree, points, pyramids[0], exsum, origin, direction, LEVEL,
-    trim=False, max_hits_per_ray=K, max_nuggets=origin.shape[0] * 4)
+    octree, point_hierarchy, pyramids[0], exsum, origin, direction, LEVEL,
+    trim=False, max_hits_per_ray=K, max_nuggets=MAX_NUGGETS)
 jax.block_until_ready(ridx)
 t_compile = time.perf_counter() - t0
 print(f'raytrace compile+run: {t_compile:.2f}s', flush=True)
@@ -61,11 +61,14 @@ print(f'raytrace compile+run: {t_compile:.2f}s', flush=True)
 for it in range(3):
     t0 = time.perf_counter()
     ridx, pidx, depths = unbatched_raytrace(
-        octree, points, pyramids[0], exsum, origin, direction, LEVEL,
-        trim=False, max_hits_per_ray=K, max_nuggets=origin.shape[0] * 4)
+        octree, point_hierarchy, pyramids[0], exsum, origin, direction,
+        LEVEL, trim=False, max_hits_per_ray=K, max_nuggets=MAX_NUGGETS)
     jax.block_until_ready(ridx)
     dt = time.perf_counter() - t0
     print(f'raytrace iter {it}: {dt*1e3:.1f}ms -> '
           f'{origin.shape[0]/dt/1e6:.2f} Mrays/s', flush=True)
 nhits = int((np.asarray(ridx) >= 0).sum())
+if nhits == MAX_NUGGETS:
+    print('WARNING: nugget output saturated max_nuggets; counts truncated',
+          flush=True)
 print(f'total nuggets: {nhits}', flush=True)
