@@ -32,7 +32,16 @@ def index_vertices_by_faces(vertices_features, faces):
     if vertices_features.ndim != 3:
         raise ValueError(
             f"vertices_features must be (B, V, D), got {vertices_features.shape}")
-    return vertices_features[:, faces]
+    # flat row gather: batched gathers (and their scatter transposes in the
+    # backward) lower ~150x slower on TPU — see kaolin_tpu/ops/gather.py
+    from kaolin_tpu.ops.gather import flat_index, gather_rows
+    B, V, D = vertices_features.shape
+    faces = jnp.asarray(faces)
+    F, S = faces.shape
+    gidx = flat_index(jnp.broadcast_to(faces.reshape(-1)[None], (B, F * S)),
+                      V)
+    rows = gather_rows(vertices_features.reshape(B * V, D), gidx)
+    return rows.reshape(B, F, S, D)
 
 
 def _unique_edges(faces):

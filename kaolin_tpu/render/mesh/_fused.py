@@ -591,12 +591,13 @@ def fused_selection(face_vertices_z, face_vertices_image, valid_faces=None,
         vt, tile_ranges, chunk_bbox.astype(jnp.float32), height, width,
         float(multiplier), float(eps), float(sigmainv), with_softmask,
         interpret)
-    # sorted -> original face ids
-    safe = jnp.clip(fid_s, 0, F - 1).reshape(B, -1)
-    face_idx = jnp.where(
-        fid_s >= 0,
-        jnp.take_along_axis(perm, safe, axis=1).reshape(fid_s.shape),
-        -1)
+    # sorted -> original face ids (flat gather: batched gathers are slow
+    # on TPU, see ops/gather.py)
+    from kaolin_tpu.ops.gather import flat_index
+    Fp = perm.shape[1]
+    safe = flat_index(jnp.clip(fid_s, 0, Fp - 1), Fp)
+    mapped = perm.reshape(-1)[safe].reshape(fid_s.shape)
+    face_idx = jnp.where(fid_s >= 0, mapped, -1)
     return FusedSelection(face_idx, prod, vt, chunk_tranges,
                           chunk_bbox.astype(jnp.float32), inv_perm)
 
@@ -629,8 +630,10 @@ def _softmask_fused_bwd(config, sel, g):
         sel.vt, sel.chunk_tranges, sel.chunk_bbox, g_prod_t, height,
         width, float(multiplier), float(sigmainv),
         interpret=_use_interpret())                    # (B, Fp, 6)
-    dfvi = jnp.take_along_axis(
-        dsorted, sel.inv_perm.astype(jnp.int32)[..., None], axis=1)
+    from kaolin_tpu.ops.gather import flat_index
+    Fp = dsorted.shape[1]
+    gidx = flat_index(sel.inv_perm.astype(jnp.int32), Fp)
+    dfvi = dsorted.reshape(B * Fp, 6)[gidx]
     dfvi = dfvi.reshape(B, F, 3, 2)
     fl0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (dfvi, FusedSelection(*(fl0(x) for x in sel)))

@@ -1,4 +1,9 @@
-"""Profile the DIB-R 512^2 step phase by phase on the real chip."""
+"""Profile the DIB-R 512^2 step phase by phase on the real chip.
+
+NOTE: all device arrays are passed as jit ARGUMENTS — capturing a live
+device array in a jitted closure permanently degrades the axon tunnel to
+~1.4 ms/dispatch (see ops/gather.py docs + BENCH notes).
+"""
 import os
 import sys
 import time
@@ -24,12 +29,11 @@ target_masks = jnp.zeros((1, height, width))
 
 backend = sys.argv[1] if len(sys.argv) > 1 else 'fused'
 
-sel_fn = jax.jit(lambda p: M.compute_selection(
-    p, views, faces, height, width, backend=backend))
+sel_fn = jax.jit(lambda p, v, f: M.compute_selection(
+    p, v, f, height, width, backend=backend))
 grad_fn = jax.jit(jax.grad(
-    lambda p, sel: M.render_loss(
-        p, views, faces, face_uvs, target_images, target_masks,
-        height, width, selection=sel)))
+    lambda p, sel, v, f, fu, ti, tm: M.render_loss(
+        p, v, f, fu, ti, tm, height, width, selection=sel)))
 
 
 def t(label, fn, *a, iters=10):
@@ -40,11 +44,23 @@ def t(label, fn, *a, iters=10):
         out = fn(*a)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f'{label}: {dt*1000:.2f} ms')
+    print(f'{label}: {dt*1000:.2f} ms', flush=True)
     return out, dt
 
 
-sel, dt_sel = t('selection', sel_fn, params)
-g, dt_grad = t('grad', grad_fn, params, sel)
+sel, dt_sel = t('selection', sel_fn, params, views, faces)
+g, dt_grad = t('grad', grad_fn, params, sel, views, faces, face_uvs,
+               target_images, target_masks)
+
+
+def step(p, v, f, fu, ti, tm):
+    s = sel_fn(p, v, f)
+    return grad_fn(p, s, v, f, fu, ti, tm)
+
+
+_, dt_step = t('pipelined step', step, params, views, faces, face_uvs,
+               target_images, target_masks)
 total = dt_sel + dt_grad
 print(f'total: {total*1000:.2f} ms -> {height*width/total/1e6:.2f} Mpix/s')
+print(f'pipelined: {dt_step*1000:.2f} ms -> '
+      f'{height*width/dt_step/1e6:.2f} Mpix/s')
