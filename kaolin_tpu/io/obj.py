@@ -182,10 +182,15 @@ def import_mesh(path, with_materials=False, with_normals=False,
         flat_normals_idx = fix_idx(flat_normals_idx,
                                    len(normals) if normals is not None else 0)
 
-    # homogenize / triangulate
-    is_heterogeneous = (face_vertex_counts.size > 0
-                        and not (face_vertex_counts == 3).all())
-    needs_triangulate = triangulate and is_heterogeneous
+    # homogenize / triangulate: heterogeneous = MIXED face sizes (an
+    # all-quad mesh is homogeneous, matching the reference and the native
+    # fast path); triangulation routes any non-triangle mesh through the
+    # handler
+    is_heterogeneous = (
+        face_vertex_counts.size > 0
+        and not (face_vertex_counts == face_vertex_counts[0]).all())
+    needs_triangulate = (triangulate and face_vertex_counts.size > 0
+                         and not (face_vertex_counts == 3).all())
     if is_heterogeneous or needs_triangulate:
         handler = heterogeneous_mesh_handler
         if handler is None:

@@ -4,6 +4,7 @@ Parity: ``kaolin/io/usd/pointcloud.py`` (reference).
 """
 
 import os
+from collections import namedtuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -67,16 +68,19 @@ def export_pointclouds(file_path, pointclouds, scene_paths=None, colors=None,
     return stage
 
 
+pointcloud_return_type = namedtuple(
+    'pointcloud_return_type', ['points', 'colors', 'normals'])
+
+
 def import_pointcloud(file_path_or_stage, scene_path, time=None):
     """Parity: ``kaolin/io/usd/pointcloud.py:143``.
 
     Returns:
-        (points (N, 3), colors or None, normals or None) namedtuple-like
-        tuple.
+        ``pointcloud_return_type(points (N, 3), colors, normals)``.
     """
     points, colors, normals = import_pointclouds(
         file_path_or_stage, [scene_path], time=time)
-    return points[0], colors[0], normals[0]
+    return pointcloud_return_type(points[0], colors[0], normals[0])
 
 
 def import_pointclouds(file_path_or_stage, scene_paths=None, time=None):

@@ -273,7 +273,13 @@ class _Parser:
             if len(words) > 8:
                 raise ValueError(f'cannot parse attribute near {words}')
         self.expect('=')
-        name = words[-1]
+        # rejoin namespaced attribute names the tokenizer split on ':'
+        # (e.g. ['float2[]', 'primvars', ':', 'st'] -> 'primvars:st')
+        parts = [words.pop()]
+        while len(words) >= 2 and words[-1] == ':':
+            words.pop()
+            parts.insert(0, words.pop())
+        name = ':'.join(parts)
         if name.endswith('.timeSamples'):
             base = name[:-len('.timeSamples')]
             self.expect('{')
