@@ -1,0 +1,56 @@
+"""CI harness for the example scripts + doctests.
+
+Mirrors the reference's CI, which executes every tutorial/example and the
+doc snippets on each run (``ci/gitlab_jenkins_templates/
+ubuntu_test_CI.jenkins:113-231``).  Examples run as subprocesses on CPU
+with tiny configs.
+"""
+import doctest
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = os.path.join(REPO, 'examples')
+
+
+def _run_example(name, *args, timeout=600):
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    result = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, name), *args],
+        capture_output=True, text=True, timeout=timeout, env=env)
+    assert result.returncode == 0, (
+        f'{name} failed:\n{result.stdout[-2000:]}\n{result.stderr[-2000:]}')
+    return result.stdout
+
+
+def test_example_dibr_inverse_rendering(tmp_path):
+    out = _run_example(
+        'dibr_inverse_rendering.py', '--height', '32', '--width', '32',
+        '--num-views', '2', '--steps', '3',
+        '--logdir', str(tmp_path / 'timelapse'))
+    assert 'done' in out
+
+
+def test_example_dmtet_demo():
+    out = _run_example('dmtet_demo.py', '--res', '4', '--steps', '2')
+    assert 'done' in out
+
+
+def test_example_spc_raytrace_demo():
+    out = _run_example('spc_raytrace_demo.py', '--level', '4',
+                       '--rays', '256')
+    assert 'integrated features' in out
+
+
+@pytest.mark.parametrize('module_name', [
+    'kaolin_tpu.io.materials',
+])
+def test_doctests(module_name):
+    import importlib
+    mod = importlib.import_module(module_name)
+    results = doctest.testmod(mod, verbose=False)
+    assert results.failed == 0, f'{results.failed} doctest failures'
