@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from kaolin_tpu.ops.conversions.pointcloud import _base_points_to_voxelgrids
 from kaolin_tpu.ops.mesh.trianglemesh import _unbatched_subdivide_vertices
 
-__all__ = ['trianglemeshes_to_voxelgrids', 'unbatched_mesh_to_spc']
+__all__ = ['trianglemeshes_to_voxelgrids', 'unbatched_mesh_to_spc',
+           'unbatched_mesh_to_spc_device']
 
 
 def trianglemeshes_to_voxelgrids(vertices, faces, resolution, origin=None,
@@ -44,6 +45,30 @@ def trianglemeshes_to_voxelgrids(vertices, faces, resolution, origin=None,
         voxelgrids.append(
             _base_points_to_voxelgrids(points[None], resolution)[0])
     return jnp.stack(voxelgrids)
+
+
+def unbatched_mesh_to_spc_device(face_vertices, level, cap=2 ** 21):
+    """Device-side (jit-able) variant of :func:`unbatched_mesh_to_spc`.
+
+    Runs the full coarse-to-fine SAT pipeline on the TPU with static
+    shapes (levels <= 10) and trims the padded outputs on host — output
+    parity with the host builder is exact (see tests/test_spc_device.py).
+
+    Returns:
+        (octree uint8, points (num_voxels, 3) int16, face_idx int32,
+        bary (num_voxels, 2) float32) — same as the host version.
+    """
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.ops.spc.device import (mesh_to_spc_device,
+                                           pack_octree_host)
+    out = mesh_to_spc_device(jnp.asarray(face_vertices, jnp.float32),
+                             int(level), cap=int(cap))
+    octree_p, counts, _, vox, tri, bary, count = jax.block_until_ready(out)
+    n = int(count)
+    octree = jnp.asarray(pack_octree_host(octree_p, counts, int(cap)))
+    return (octree, vox[:n].astype(jnp.int16), tri[:n].astype(jnp.int64),
+            bary[:n])
 
 
 def unbatched_mesh_to_spc(face_vertices, level):
