@@ -6,14 +6,13 @@ Parity: ``kaolin/render/spc/raytrace.py`` + CUDA kernels
 TPU-native design (SURVEY.md §3.2, A.4):
 
 * The breadth-first traversal with per-level host-synced dynamic
-  allocation (CUB scan sizing, ``raytrace_cuda.cu:544-560``) becomes a
-  stackless **t-marching** traversal (``_raytrace_march``): all per-ray
-  state is flat ``(num_rays,)`` vectors inside one ``lax.while_loop``;
-  each step re-descends the octree at the current ray position and
-  either records a leaf hit or skips the empty ancestor voxel.  Hits are
-  emitted in ascending depth per ray — the same near-to-far invariant
-  the reference gets from its ``VOXEL_ORDER`` table (A.4) and that the
-  pack ops rely on.
+  allocation (CUB scan sizing, ``raytrace_cuda.cu:544-560``) keeps its
+  level-synchronous BFS shape but becomes fully static
+  (:func:`_raytrace_bfs`): each level is one expand→test→compact pass
+  over a static-capacity nugget buffer, compaction by cumsum + a single
+  row scatter instead of CUB scans and host-sized allocs.  Children are
+  emitted in the reference's near-to-far ``VOXEL_ORDER`` (A.4), so the
+  packed output needs no sort.
 * Serial per-pack cumsum/cumprod (``raytrace_cuda.cu:373-483``) become
   log-depth segmented ``associative_scan``; cumprod gradients avoid the
   reference's div-by-feature NaN workaround entirely (product-rule form).
@@ -37,141 +36,206 @@ __all__ = [
 ]
 
 
-@functools.partial(jax.jit, static_argnames=(
-    'level', 'max_hits_per_ray', 'max_steps'))
-def _raytrace_march(octree, exsum, origin, direction, level,
-                    max_hits_per_ray, max_steps):
-    """Stackless t-marching octree traversal (all state is flat (NR,)).
+@functools.partial(jax.jit, static_argnames=('level', 'cap'))
+def _raytrace_bfs(octree, exsum, origin, direction, level, cap):
+    """Level-synchronous breadth-first octree ray traversal.
 
-    Replaces the reference's breadth-first nugget expansion
-    (``raytrace_cuda.cu:485-607``, CUB-scan-sized per level — a host-synced
-    dynamic-shape pattern XLA can't express efficiently).  Each step, every
-    ray re-descends the octree (``identify`` walk, ``spc_utils.cuh:32``) at
-    its current position ``o + (t + eps) * d``; a full path to the target
-    level is a leaf hit (recorded if its entry depth > 0, CUDA parity for
-    inside-origins); a broken path yields the *empty* ancestor voxel whose
-    exit advances ``t`` — hierarchical empty-space skipping.  Hits are
-    emitted in ascending-t order per ray, preserving the near-to-far
-    invariant (A.4) that the pack ops rely on.
+    TPU redesign of the reference's BFS (``raytrace_cuda.cu:485-607``):
+    the CUDA loop does per-level host-synced dynamic allocation (CUB scan
+    sizing); here every level is a static-shaped expand→test→compact pass.
+    TPU random access is *index-rate* bound (~1e8 indices/s regardless of
+    row width up to 8 lanes — measured), so the design minimises the
+    number of gather/scatter indices per level, not bytes:
+
+    1. **expand** (pure vector ops): each live nugget (ray, node) emits
+       its 8 children in ``(8, cap)`` orientation (8 sublanes × cap
+       lanes tiles perfectly; ``(N, 3)``-style layouts would pad lanes
+       3 -> 128).  Ray origin/inv-direction come from one packed
+       ``(NR, 8)`` row gather; occupancy byte + exclusive-sum come from
+       one gather of an arithmetically packed ``exsum*256 + byte`` table.
+    2. **order + test**: slab ray-AABB per child; children are ranked
+       near-to-far *by actual entry depth* with 8×8 vector comparisons
+       (no sort) — exact where the reference's ``VOXEL_ORDER`` Hamming
+       approximation (``raytrace_cuda.cu:225-269``) is heuristic.  The
+       rank permutation packs into 24 bits of one int32.  Intermediate
+       levels keep hits and voxels containing the origin (reference
+       ``decide`` keeps ``depth != 0``); the final level requires entry
+       depth > 0.
+    3. **compact** (order-preserving, O(count) indices): scatter each
+       live parent's output offset ("head"), propagate parent ids with a
+       segmented cummax, then gather ONE packed ``(cap, 8)`` row per
+       output nugget carrying all parent state (ray id, packed coords,
+       occupancy byte, exclusive sum, child permutation, offset); the
+       child's node id and coords are recomputed from it arithmetically.
+       Entry/exit depths are recomputed from the compacted voxel coords
+       at the end (vector ops are free, random-access indices are not).
+
+    The identical middle levels run under one ``lax.scan`` body with a
+    flat capacity, so XLA compiles the level pass once, not ``level``
+    times.
 
     Returns:
-        pidx (NR, K) int32 (-1 pad), t_in (NR, K), t_out (NR, K),
-        nhit (NR,) int32.
+        (ridx (cap,), pidx (cap,), t_near (cap,), t_far (cap,),
+        count (), saturated ()) — valid prefix of length ``count``, tail
+        ridx/pidx -1; ``saturated`` is True if any level overflowed
+        ``cap`` (overflow hits are dropped).
     """
     NR = origin.shape[0]
-    K = max_hits_per_ray
-    L = level
-    o = origin
-    d = direction
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    o = origin.astype(jnp.float32)
+    d = direction.astype(jnp.float32)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                            jnp.where(d < 0, -1e-12, 1e-12), d)
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
+    rays8 = jnp.stack([ox, oy, oz, ix, iy, iz,
+                       jnp.zeros_like(ox), jnp.zeros_like(ox)], axis=-1)
+    # one gather -> (occupancy byte, exclusive sum) when exsum fits 23
+    # bits (point count < 2^23); two gathers otherwise
+    can_pack = octree.shape[0] * 8 < (1 << 23)
     oct_i32 = octree.astype(jnp.int32)
-    exsum = exsum.astype(jnp.int32)
-    eps = 1e-5
+    ex_i32 = exsum.astype(jnp.int32)
+    comb = (ex_i32[:octree.shape[0]] * 256 + oct_i32 if can_pack
+            else None)
 
-    def slab(lo, hi):
-        t0 = (lo - o) * inv_d
-        t1 = (hi - o) * inv_d
-        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    def slab1(lov, half, ro, rinv):
+        t0 = (lov - ro) * rinv
+        t1 = t0 + half * rinv
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    def leaf_slab(qxv, qyv, qzv, rox, roy, roz, rix, riy, riz, half):
+        tn_x, tf_x = slab1(qxv.astype(jnp.float32) * half - 1., half,
+                           rox, rix)
+        tn_y, tf_y = slab1(qyv.astype(jnp.float32) * half - 1., half,
+                           roy, riy)
+        tn_z, tf_z = slab1(qzv.astype(jnp.float32) * half - 1., half,
+                           roz, riz)
+        t_near = jnp.maximum(jnp.maximum(tn_x, tn_y), tn_z)
+        t_far = jnp.minimum(jnp.minimum(tf_x, tf_y), tf_z)
         return t_near, t_far
 
-    # root box [-1, 1]^3
-    root_near, root_far = slab(jnp.full_like(o, -1.), jnp.ones_like(o))
-    t0 = jnp.maximum(root_near, 0.)
-    done0 = root_far <= t0
+    # ---- level 0: one root nugget per ray ------------------------------
+    zeros_nr = jnp.zeros((NR,), jnp.int32)
+    root_near, root_far = leaf_slab(
+        zeros_nr, zeros_nr, zeros_nr, ox, oy, oz, ix, iy, iz, 2.)
+    alive0 = (root_far > root_near) & (root_far > 0.)
+    if level == 0:
+        alive0 = alive0 & (root_near > 0.)
+    ridx0 = jnp.where(alive0, jnp.arange(NR, dtype=jnp.int32), -1)
+    pad = cap - NR
+    assert pad >= 0, 'cap must be >= num_rays'
+    ridx = jnp.pad(ridx0, (0, pad), constant_values=-1)
+    pidx = jnp.zeros((cap,), jnp.int32)
+    qxy = jnp.zeros((cap,), jnp.int32)       # (qx << 16) | qy
+    qz = jnp.zeros((cap,), jnp.int32)
+    t_in = jnp.pad(root_near, (0, pad))
+    t_out = jnp.pad(root_far, (0, pad))
 
-    state = dict(
-        t=t0,
-        done=done0,
-        nhit=jnp.zeros((NR,), jnp.int32),
-        steps=jnp.zeros((), jnp.int32),
-        pidx=jnp.full((NR, K), -1, jnp.int32),
-        t_in=jnp.zeros((NR, K), o.dtype),
-        t_out=jnp.zeros((NR, K), o.dtype),
-    )
+    def level_pass(state, half_and_final):
+        """One BFS level: expand, rank near-to-far, compact.  ``half`` is
+        the child voxel side; ``final`` selects the bottom-level test."""
+        ridx, pidx, qxy, qz, sat = state
+        half, final = half_and_final
+        live = ridx >= 0
+        rsafe = jnp.clip(ridx, 0, NR - 1)
+        ray = rays8[rsafe]                                  # (cap, 8)
+        rox, roy, roz = ray[:, 0], ray[:, 1], ray[:, 2]
+        rix, riy, riz = ray[:, 3], ray[:, 4], ray[:, 5]
 
-    def cond(s):
-        return (~jnp.all(s['done'])) & (s['steps'] < max_steps)
+        psafe = jnp.clip(pidx, 0, octree.shape[0] - 1)
+        if can_pack:
+            cg = comb[psafe]                                # (cap,)
+            bits = cg & 255
+            exv = cg >> 8
+        else:
+            bits = oct_i32[psafe]
+            exv = ex_i32[psafe]
 
-    def body(s):
-        t = s['t']
-        pos = o + (t + eps)[:, None] * d
-        outside = jnp.any(jnp.abs(pos) >= 1., axis=-1)
-        done = s['done'] | outside
+        kslot = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)  # child id
+        has = ((bits[None, :] >> kslot) & 1) == 1           # (8, cap)
 
-        # quantize to target-level integer coords
-        q = jnp.clip(((pos + 1.) * (0.5 * (1 << L))).astype(jnp.int32),
-                     0, (1 << L) - 1)
+        qx = qxy >> 16
+        qy = qxy & 0xffff
+        qcx = qx[None, :] * 2 + ((kslot >> 2) & 1)          # (8, cap)
+        qcy = qy[None, :] * 2 + ((kslot >> 1) & 1)
+        qcz = qz[None, :] * 2 + (kslot & 1)
+        t_near, t_far = leaf_slab(qcx, qcy, qcz,
+                                  rox[None, :], roy[None, :], roz[None, :],
+                                  rix[None, :], riy[None, :], riz[None, :],
+                                  half)
 
-        # identify walk, tracking the level where the path dies
-        ord_ = jnp.zeros((NR,), jnp.int32)
-        alive = ~done
-        fail_level = jnp.full((NR,), L + 1, jnp.int32)
-        for l in range(L):
-            depth_shift = L - l - 1
-            cbits = (q >> depth_shift) & 1
-            child = (cbits[:, 0] << 2) | (cbits[:, 1] << 1) | cbits[:, 2]
-            bits = oct_i32[jnp.clip(ord_, 0, oct_i32.shape[0] - 1)]
-            has = ((bits >> child) & 1) == 1
-            rank = jax.lax.population_count(
-                (bits & ((2 << child) - 1)).astype(jnp.uint32)
-            ).astype(jnp.int32)
-            new_ord = exsum[jnp.clip(ord_, 0, exsum.shape[0] - 1)] + rank
-            newly_dead = alive & ~has
-            fail_level = jnp.where(newly_dead, l + 1, fail_level)
-            alive = alive & has
-            ord_ = jnp.where(alive, new_ord, ord_)
+        ok = live[None, :] & has & (t_far > t_near) & (t_far > 0.)
+        ok = ok & jnp.where(final, t_near > 0., True)
 
-        hit = alive  # full path to level L exists
-        # voxel to advance through: the leaf (hit) or the empty ancestor
-        sv = jnp.where(hit, L, fail_level)  # (NR,)
-        qv = q >> (L - jnp.minimum(sv, L))[:, None]
-        rv = jnp.exp2(-sv.astype(o.dtype))  # half voxel size
-        lo = qv.astype(o.dtype) * (2. * rv)[:, None] - 1.
-        hi = lo + (2. * rv)[:, None]
-        t_near, t_far = slab(lo, hi)
+        # near-to-far rank by actual entry depth: 8x8 vector comparisons,
+        # rank[k] = #valid children strictly before k in (t, slot) order
+        tkey = jnp.where(ok, t_near, jnp.inf)               # (8, cap)
+        a = tkey[:, None, :]                                # (8k, 1, cap)
+        b = tkey[None, :, :]                                # (1, 8j, cap)
+        ji = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 1)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 0)
+        before = (b < a) | ((b == a) & (ji < ki))           # (8, 8, cap)
+        rank_t = jnp.sum(
+            (before & ok[None, :, :]).astype(jnp.int32), axis=1)  # (8,cap)
+        # child permutation: slot of rank r in bits [3r, 3r+3)
+        perm = jnp.sum(jnp.where(
+            ok, kslot << (3 * rank_t), 0), axis=0)          # (cap,)
 
-        record = hit & ~done & (t_near > 0.) & (s['nhit'] < K)
-        kslot = jax.nn.one_hot(s['nhit'], K, dtype=bool) & record[:, None]
-        pidx = jnp.where(kslot, ord_[:, None], s['pidx'])
-        t_in = jnp.where(kslot, t_near[:, None], s['t_in'])
-        t_out = jnp.where(kslot, t_far[:, None], s['t_out'])
-        nhit = s['nhit'] + record.astype(jnp.int32)
-        done = done | (nhit >= K)
+        # compaction: head scatter + segmented cummax + one row gather
+        cnt = jnp.sum(ok.astype(jnp.int32), axis=0)         # (cap,)
+        base = jnp.cumsum(cnt) - cnt                        # exclusive
+        total = base[-1] + cnt[-1]
+        head_dst = jnp.where(cnt > 0, base, cap)
+        head = jnp.full((cap,), -1, jnp.int32).at[head_dst].set(
+            jnp.arange(cap, dtype=jnp.int32), mode='drop',
+            unique_indices=True)
+        parent = jax.lax.associative_scan(jnp.maximum, head)  # (cap,)
+        psafe2 = jnp.clip(parent, 0, cap - 1)
 
-        # monotone advance to the voxel exit
-        t_new = jnp.maximum(t_far, t + eps)
-        t = jnp.where(done, t, t_new)
-        return dict(t=t, done=done, nhit=nhit, steps=s['steps'] + 1,
-                    pidx=pidx, t_in=t_in, t_out=t_out)
+        # all parent state in one (cap, 8) row -> one gather per output
+        table = jnp.stack([ridx, qxy, qz, bits, exv, perm, base, cnt],
+                          axis=-1)
+        row = table[psafe2]                                 # (cap, 8)
+        j = jnp.arange(cap, dtype=jnp.int32)
+        k = jnp.clip(j - row[:, 6], 0, 7)
+        valid = (j < total) & (parent >= 0)
+        slot = (row[:, 5] >> (3 * k)) & 7
+        rank_s = jax.lax.population_count(
+            (row[:, 3] & ((2 << slot) - 1)).astype(jnp.uint32)
+        ).astype(jnp.int32)
+        new_pidx = jnp.where(valid, row[:, 4] + rank_s, -1)
+        nqx = (row[:, 1] >> 16) * 2 + ((slot >> 2) & 1)
+        nqy = (row[:, 1] & 0xffff) * 2 + ((slot >> 1) & 1)
+        new_qxy = jnp.where(valid, (nqx << 16) | nqy, 0)
+        new_qz = jnp.where(valid, row[:, 2] * 2 + (slot & 1), 0)
+        new_ridx = jnp.where(valid, row[:, 0], -1)
+        sat = sat | (total > cap)
+        return (new_ridx, new_pidx, new_qxy, new_qz, sat), None
 
-    s = jax.lax.while_loop(cond, body, state)
-    return s['pidx'], s['t_in'], s['t_out'], s['nhit']
+    state = (ridx, pidx, qxy, qz, jnp.zeros((), bool))
+    if level > 1:
+        halves = jnp.asarray([1.0 / (1 << l) for l in range(level - 1)],
+                             jnp.float32)
+        finals = jnp.zeros((level - 1,), bool)
+        state, _ = jax.lax.scan(level_pass, state, (halves, finals))
+    if level > 0:
+        state, _ = level_pass(
+            state, (jnp.float32(1.0 / (1 << (level - 1))),
+                    jnp.asarray(True)))
+    ridx, pidx, qxy, qz, sat = state
 
+    if level > 0:
+        # recompute depths from compacted voxel coords (vector ops only)
+        rsafe = jnp.clip(ridx, 0, NR - 1)
+        ray = rays8[rsafe]
+        t_in, t_out = leaf_slab(
+            qxy >> 16, qxy & 0xffff, qz,
+            ray[:, 0], ray[:, 1], ray[:, 2],
+            ray[:, 3], ray[:, 4], ray[:, 5], 1.0 / (1 << (level - 1)))
+        t_in = jnp.where(ridx >= 0, t_in, 0.)
+        t_out = jnp.where(ridx >= 0, t_out, 0.)
 
-@functools.partial(jax.jit, static_argnames=('out_cap', 'with_exit'))
-def _pack_nuggets(pidx, t_in, t_out, nhit, out_cap, with_exit):
-    """Compact (NR, K) padded per-ray hits into the reference's packed
-    ray-major nugget list — gather-only (offsets via cumsum +
-    searchsorted), no scatter, no sort."""
-    NR, K = pidx.shape
-    offsets = jnp.cumsum(nhit) - nhit  # exclusive
-    total = jnp.sum(nhit)
-    j = jnp.arange(out_cap, dtype=jnp.int32)
-    ray = jnp.searchsorted(offsets, j, side='right').astype(jnp.int32) - 1
-    ray = jnp.clip(ray, 0, NR - 1)
-    k = j - offsets[ray]
-    valid = j < total
-    src = ray * K + jnp.clip(k, 0, K - 1)
-    out_ridx = jnp.where(valid, ray, -1)
-    out_pidx = jnp.where(valid, pidx.reshape(-1)[src], -1)
-    d_in = jnp.where(valid, t_in.reshape(-1)[src], 0.)
-    if with_exit:
-        d_out = jnp.where(valid, t_out.reshape(-1)[src], 0.)
-        depths = jnp.stack([d_in, d_out], axis=-1)
-    else:
-        depths = d_in[:, None]
-    return out_ridx, out_pidx, depths, total
+    count = jnp.sum((ridx >= 0).astype(jnp.int32))
+    return ridx, pidx, t_in, t_out, count, sat
 
 
 def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
@@ -193,33 +257,44 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
         level: target octree level.
         return_depth: also return entry depths.
         with_exit: also return exit depths.
-        max_nuggets: static capacity bound of the output (default:
-            ``8 * num_rays`` per level, clamped by the octree size).
+        max_nuggets: static nugget-buffer capacity, shared by every
+            level of the traversal (default ``4 * num_rays``, min
+            ``num_rays``).  If any level's true intersection count
+            exceeds it the overflow is dropped (a warning is emitted
+            when ``trim`` and a saturation flag is observable via the
+            -1 padding otherwise) — size it to the scene; final counts
+            are typically well under ``num_rays`` for surface octrees.
         trim: outside jit, trim outputs to the true intersection count
             (matches reference's dynamic shapes).  Under jit, set False
             and use the returned count/validity (``ridx == -1`` padding).
+        max_hits_per_ray, max_steps: deprecated (accepted for backward
+            compatibility; the BFS traversal has no per-ray cap).
 
     Returns:
         (ridx, pidx[, depth]): intersection ray / point indices, and
         depths (num_nuggets, 1) or (num_nuggets, 2) if ``with_exit``.
     """
+    del max_hits_per_ray, max_steps  # deprecated (t-marching engine)
     num_rays = origin.shape[0]
     if max_nuggets is None:
-        max_nuggets = num_rays * 8
-    if max_hits_per_ray is None:
-        # a ray crosses at most 3 * 2^level leaf voxels; cap for memory
-        max_hits_per_ray = min(3 << level, 256)
-    if max_steps is None:
-        # backstop only — the while_loop exits when all rays are done
-        max_steps = 6 * (1 << level) + 64
+        max_nuggets = num_rays * 4
+    cap = max(int(max_nuggets), num_rays)
 
-    pidx_pad, t_in, t_out, nhit = _raytrace_march(
+    ridx, pidx, t_in, t_out, count, sat = _raytrace_bfs(
         jnp.asarray(octree), jnp.asarray(exsum),
         jnp.asarray(origin), jnp.asarray(direction),
-        level, int(max_hits_per_ray), int(max_steps))
-    ridx, pidx, depths, count = _pack_nuggets(
-        pidx_pad, t_in, t_out, nhit, int(max_nuggets), with_exit)
+        level, cap)
+    if with_exit:
+        depths = jnp.stack([t_in, t_out], axis=-1)
+    else:
+        depths = t_in[:, None]
     if trim:
+        if bool(sat):
+            import warnings
+            warnings.warn(
+                'unbatched_raytrace: nugget buffer saturated '
+                f'(max_nuggets={cap}); intersections were dropped — '
+                'raise max_nuggets', RuntimeWarning)
         n = int(count)
         ridx, pidx, depths = ridx[:n], pidx[:n], depths[:n]
     if return_depth:
