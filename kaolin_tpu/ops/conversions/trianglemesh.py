@@ -61,14 +61,17 @@ def unbatched_mesh_to_spc_device(face_vertices, level, cap=2 ** 21):
     import jax
     import jax.numpy as jnp
     from kaolin_tpu.ops.spc.device import (mesh_to_spc_device,
-                                           pack_octree_host)
+                                           pack_octree_device)
     out = mesh_to_spc_device(jnp.asarray(face_vertices, jnp.float32),
                              int(level), cap=int(cap))
-    octree_p, counts, _, vox, tri, bary, count = jax.block_until_ready(out)
-    n = int(count)
-    octree = jnp.asarray(pack_octree_host(octree_p, counts, int(cap)))
-    return (octree, vox[:n].astype(jnp.int16), tri[:n].astype(jnp.int64),
-            bary[:n])
+    octree_p, counts, _, vox, tri, bary, count = out
+    # pack on device: the padded byte buffer is levels*cap bytes; only
+    # the packed prefix ever needs to cross the (slow) device->host link
+    octree_packed, nbytes = pack_octree_device(octree_p, counts,
+                                               cap=int(cap))
+    n, nb = int(count), int(nbytes)
+    return (octree_packed[:nb], vox[:n].astype(jnp.int16),
+            tri[:n].astype(jnp.int64), bary[:n])
 
 
 def unbatched_mesh_to_spc(face_vertices, level):
@@ -91,7 +94,7 @@ def unbatched_mesh_to_spc(face_vertices, level):
         bary (num_voxels, 2) barycentric uv of the voxel center).
     """
     from kaolin_tpu.ops.spc.points import (points_to_morton,
-                                           unbatched_points_to_octree)
+                                           unbatched_points_to_octree_np)
     fv = np.asarray(face_vertices, dtype=np.float64)
     T = fv.shape[0]
 
@@ -116,7 +119,9 @@ def unbatched_mesh_to_spc(face_vertices, level):
     uniq_mask = np.concatenate([[True], morton[1:] != morton[:-1]])
     vox, tri = vox[uniq_mask], tri[uniq_mask]
 
-    octree = unbatched_points_to_octree(vox, level)
+    # octree stays host numpy: its consumers (scan_octrees) are host-side
+    # and a jnp round-trip would force a device->host readback later
+    octree = unbatched_points_to_octree_np(vox, level)
     bary = _voxel_center_bary(fv[tri], vox, level)
     return (octree, jnp.asarray(vox.astype(np.int16)), jnp.asarray(tri),
             jnp.asarray(bary.astype(np.float32)))

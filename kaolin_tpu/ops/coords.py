@@ -11,8 +11,10 @@ __all__ = ['spherical2cartesian', 'cartesian2spherical']
 def spherical2cartesian(azimuth, elevation, distance=None):
     """Convert spherical coordinates to cartesian.
 
-    Assumes elevation measured from the xz-plane toward +y, azimuth around y
-    in the xz-plane (matching reference ``kaolin/ops/coords.py:20``).
+    Assumes X toward camera, Z-up and Y-right — elevation measured from
+    the xy-plane toward +z, azimuth around z from +x toward +y (matching
+    reference ``kaolin/ops/coords.py:20``; verified against the SG
+    golden renders, tests/test_sg_golden.py).
 
     Args:
         azimuth: azimuth angles (radians).
@@ -24,10 +26,10 @@ def spherical2cartesian(azimuth, elevation, distance=None):
     """
     if distance is None:
         distance = 1.
-    y = jnp.sin(elevation) * distance
+    z = jnp.sin(elevation) * distance
     temp = jnp.cos(elevation) * distance
-    x = jnp.sin(azimuth) * temp
-    z = jnp.cos(azimuth) * temp
+    x = jnp.cos(azimuth) * temp
+    y = jnp.sin(azimuth) * temp
     return x, y, z
 
 
@@ -40,6 +42,6 @@ def cartesian2spherical(x, y, z):
         (azimuth, elevation, distance) arrays.
     """
     distance = jnp.sqrt(x * x + y * y + z * z)
-    elevation = jnp.arcsin(y / distance)
-    azimuth = jnp.arctan2(x, z)
+    elevation = jnp.arcsin(z / distance)
+    azimuth = jnp.arctan2(y, x)
     return azimuth, elevation, distance

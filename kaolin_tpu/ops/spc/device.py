@@ -26,7 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['morton_i32', 'points_to_octree_device', 'mesh_to_spc_device']
+__all__ = ['morton_i32', 'points_to_octree_device', 'pack_octree_device',
+           'mesh_to_spc_device']
 
 _OFFS = np.stack([(np.arange(8) >> 2) & 1, (np.arange(8) >> 1) & 1,
                   np.arange(8) & 1], axis=-1).astype(np.int32)
@@ -132,16 +133,18 @@ def points_to_octree_device(points, valid, level, cap=None):
     (m,), leaf_count, valid_l = _compact(uniq_first, (key,), cap)
     leaf_morton = jnp.where(valid_l, m, 0)
 
-    level_bytes = []       # deepest first
-    level_counts = []
-    cur_m, cur_valid = m, valid_l
-    for l in range(level, 0, -1):
-        b, cur_m, nb, cur_valid = _level_bytes(cur_m, cur_valid, cap)
-        level_bytes.append(b)
-        level_counts.append(nb)
+    # the bottom-up byte pass is shape-uniform per level, so one
+    # lax.scan body compiles once instead of ``level`` times
+    def body(state, _):
+        cur_m, cur_valid = state
+        b, pm, nb, pvalid = _level_bytes(cur_m, cur_valid, cap)
+        return (pm, pvalid), (b, nb)
+
+    (_, _), (level_bytes, level_counts) = jax.lax.scan(
+        body, (m, valid_l), None, length=level)  # deepest level first
     # assemble: level 0 (root parents of level-1) ... level-1 bytes
-    octree = jnp.concatenate(level_bytes[::-1])
-    counts = jnp.stack(level_counts[::-1])
+    octree = jnp.flip(level_bytes, axis=0).reshape(-1)
+    counts = jnp.flip(level_counts, axis=0)
     return octree, counts, jnp.sum(counts), leaf_morton, leaf_count
 
 
@@ -155,13 +158,34 @@ def pack_octree_host(octree_padded, level_counts, cap):
     return np.concatenate(blocks)
 
 
-def _tri_aabb_sat_jnp(tris, vox, level):
+@functools.partial(jax.jit, static_argnames=('cap', 'out_cap'))
+def pack_octree_device(octree_padded, level_counts, cap, out_cap=None):
+    """Device-side version of :func:`pack_octree_host`: compact the
+    ``(levels * cap,)`` padded byte blocks into one contiguous prefix of
+    a ``(out_cap,)`` buffer.  Keeps the bulk data on device (a padded
+    level-10 build is ~10x ``cap`` bytes; reading that back through a
+    slow host link dwarfs the build itself).
+
+    Returns (octree (out_cap,) uint8 padded, total_bytes int32).
+    """
+    levels = octree_padded.shape[0] // cap
+    if out_cap is None:
+        out_cap = cap
+    j = jax.lax.broadcasted_iota(jnp.int32, (levels, cap), 1)
+    keep = (j < level_counts[:, None]).reshape(-1)
+    (packed,), total, _ = _compact(keep, (octree_padded,), out_cap)
+    return packed, total
+
+
+def _tri_aabb_sat_jnp(tris, vox, r):
     """Triangle-AABB SAT (13 axes), jnp port of the host tester.
+
+    ``r`` is the voxel half-side ``1 / 2**level`` (traced, so one scan
+    body serves every level).
 
     Parity: ``kaolin/csrc/ops/conversions/mesh_to_spc/
     mesh_to_spc_cuda.cu:96-159``.
     """
-    r = 1.0 / (1 << level)
     center = vox.astype(jnp.float32) * (2.0 * r) + (r - 1.0)
     v = tris - center[:, None, :]
     e = jnp.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 1],
@@ -242,15 +266,41 @@ def mesh_to_spc_device(face_vertices, level, cap=2 ** 21):
     valid = jnp.ones((T,), bool)
     offs = jnp.asarray(_OFFS)
 
-    for l in range(1, level + 1):
-        c_in = vox.shape[0]
-        cap_l = int(min(T * 8 ** l, cap))
+    def level_step(vox, tri, valid, r, cap_l):
         vox8 = (vox[:, None, :] * 2 + offs[None]).reshape(-1, 3)
         tri8 = jnp.repeat(tri, 8)
         valid8 = jnp.repeat(valid, 8)
         tris = fv9[tri8].reshape(-1, 3, 3)
-        keep = valid8 & _tri_aabb_sat_jnp(tris, vox8, l)
+        keep = valid8 & _tri_aabb_sat_jnp(tris, vox8, r)
         (vox, tri), _, valid = _compact(keep, (vox8, tri8), cap_l)
+        return vox, tri, valid
+
+    # small levels (capacity still growing) unroll; once the capacity
+    # saturates at ``cap`` the pass is shape-uniform, so the remaining
+    # levels run under ONE lax.scan body (compiled once — the unrolled
+    # version cost ~2 minutes of XLA compile at level 10 / cap 2^21)
+    scan_from = level + 1
+    for l in range(1, level + 1):
+        if T * 8 ** l >= cap:
+            scan_from = l
+            break
+        vox, tri, valid = level_step(vox, tri, valid,
+                                     jnp.float32(1.0 / (1 << l)),
+                                     T * 8 ** l)
+    if scan_from <= level:
+        pad_n = cap - vox.shape[0]
+        vox = jnp.pad(vox, ((0, pad_n), (0, 0)))
+        tri = jnp.pad(tri, (0, pad_n))
+        valid = jnp.pad(valid, (0, pad_n))
+
+        def body(state, r):
+            vox, tri, valid = state
+            return level_step(vox, tri, valid, r, cap), None
+
+        rs = jnp.asarray([1.0 / (1 << l)
+                          for l in range(scan_from, level + 1)],
+                         jnp.float32)
+        (vox, tri, valid), _ = jax.lax.scan(body, (vox, tri, valid), rs)
 
     # dedup voxels keeping the lowest triangle id (reference's lexsort
     # (morton, tri) + first-occurrence rule)

@@ -106,6 +106,17 @@ def unbatched_points_to_octree(points, level, sorted=False):
     Returns:
         jnp uint8 octree byte array.
     """
+    return jnp.asarray(unbatched_points_to_octree_np(points, level))
+
+
+def unbatched_points_to_octree_np(points, level, sorted=False):
+    """Host-numpy variant of :func:`unbatched_points_to_octree` — same
+    output as a numpy array.  Use when the octree stays host-side (e.g.
+    feeding :func:`scan_octrees`, which is host-side too): keeping the
+    bytes off the device avoids a device->host readback, which can be
+    orders of magnitude slower than the build itself behind a remote-TPU
+    tunnel."""
+    del sorted
     morton = np.unique(points_to_morton(np.asarray(points)))
     levels = []
     for _ in range(level, 0, -1):
@@ -116,9 +127,8 @@ def unbatched_points_to_octree(points, level, sorted=False):
         np.bitwise_or.at(bytes_l, inv, (1 << child_bits).astype(np.uint8))
         levels.append(bytes_l)
         morton = uniq
-    octree = np.concatenate(levels[::-1]) if levels else \
+    return np.concatenate(levels[::-1]) if levels else \
         np.zeros(0, dtype=np.uint8)
-    return jnp.asarray(octree)
 
 
 def points_to_corners(points):

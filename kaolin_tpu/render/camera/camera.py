@@ -182,7 +182,16 @@ class Camera:
                 self.extrinsics.view_matrix())
 
     def __getitem__(self, item):
+        if isinstance(item, int):
+            n = len(self)
+            if item < -n or item >= n:
+                raise IndexError(
+                    f'camera index {item} out of range for batch of {n}')
         return Camera(self.extrinsics[item], self.intrinsics[item])
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
 
     @classmethod
     def cat(cls, cameras: Sequence['Camera']):

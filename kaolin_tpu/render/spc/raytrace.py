@@ -11,20 +11,28 @@ TPU-native design (SURVEY.md §3.2, A.4):
   (:func:`_raytrace_bfs`): each level is one expand→test→compact pass
   over a static-capacity nugget buffer, compaction by cumsum + a single
   row scatter instead of CUB scans and host-sized allocs.  Children are
-  emitted in the reference's near-to-far ``VOXEL_ORDER`` (A.4), so the
-  packed output needs no sort.
+  emitted near-to-far by *exact entry depth* (an 8x8 vector ranking) —
+  strictly stronger than the reference's ``VOXEL_ORDER`` Hamming
+  heuristic (A.4) — so the packed output needs no sort.
+* Large ray counts are traced in fixed-size chunks
+  (:func:`unbatched_raytrace` ``chunk_rays``): one compiled BFS is
+  reused across chunks (runtime and compile time both scale with the
+  nugget capacity, so a 1M-ray trace runs as 16 x 64K-ray dispatches),
+  then one device-side pass packs the per-chunk results.
 * Serial per-pack cumsum/cumprod (``raytrace_cuda.cu:373-483``) become
   log-depth segmented ``associative_scan``; cumprod gradients avoid the
   reference's div-by-feature NaN workaround entirely (product-rule form).
 """
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 __all__ = [
+    'RaytraceInfo',
     'unbatched_raytrace',
     'mark_pack_boundaries',
     'mark_first_hit',
@@ -233,14 +241,82 @@ def _raytrace_bfs(octree, exsum, origin, direction, level, cap):
             ray[:, 3], ray[:, 4], ray[:, 5], 1.0 / (1 << (level - 1)))
         t_in = jnp.where(ridx >= 0, t_in, 0.)
         t_out = jnp.where(ridx >= 0, t_out, 0.)
+    else:
+        # level 0: no level_pass ran, so pack the root nuggets (misses
+        # would otherwise leave -1 holes interleaved with hits) and mask
+        # the depths of dead slots
+        live = ridx >= 0
+        dst = jnp.where(live, jnp.cumsum(live.astype(jnp.int32)) - 1, cap)
+
+        def pack(x, fill):
+            return jnp.full((cap,), fill, x.dtype).at[dst].set(
+                x, mode='drop', unique_indices=True)
+
+        t_in = pack(jnp.where(live, t_in, 0.), 0.)
+        t_out = pack(jnp.where(live, t_out, 0.), 0.)
+        ridx = pack(ridx, -1)
+        pidx = jnp.zeros((cap,), jnp.int32)
 
     count = jnp.sum((ridx >= 0).astype(jnp.int32))
     return ridx, pidx, t_in, t_out, count, sat
 
 
+class RaytraceInfo(NamedTuple):
+    """Aux outputs of :func:`unbatched_raytrace` (device scalars,
+    jit-compatible)."""
+    count: jnp.ndarray       # () int32: number of valid nuggets
+    saturated: jnp.ndarray   # () bool: True if any level overflowed
+
+
+@jax.jit
+def _pack_chunks(ridx, pidx, t_in, t_out):
+    """Device-side compaction of concatenated per-chunk outputs into one
+    contiguous valid prefix (order-preserving, so per-ray near-to-far
+    ordering and ray-major ordering are kept)."""
+    n = ridx.shape[0]
+    live = ridx >= 0
+    dst = jnp.where(live, jnp.cumsum(live.astype(jnp.int32)) - 1, n)
+
+    def pack(x, fill):
+        return jnp.full((n,), fill, x.dtype).at[dst].set(
+            x, mode='drop', unique_indices=True)
+
+    return (pack(ridx, -1), pack(pidx, -1), pack(t_in, 0.),
+            pack(t_out, 0.), jnp.sum(live.astype(jnp.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=('level', 'cap'))
+def _raytrace_chunks(octree, exsum, origin, direction, level, cap):
+    """Chunked BFS as ONE compiled program: ``lax.scan`` runs the
+    fixed-shape BFS over ``(nchunks, chunk_rays, 3)`` ray blocks (the
+    level pass is compiled once, reused for every chunk), then the
+    per-chunk results are packed into a single contiguous prefix.
+
+    One dispatch per trace — the per-chunk python loop costs ~5 host
+    round-trips per chunk, which dominates when the device sits behind
+    a high-latency tunnel.
+    """
+    nchunks, chunk_rays = origin.shape[0], origin.shape[1]
+
+    def body(_, od):
+        o, d = od
+        ridx, pidx, t_in, t_out, _, sat = _raytrace_bfs(
+            octree, exsum, o, d, level, cap)
+        return None, (ridx, pidx, t_in, t_out, sat)
+
+    _, (ridx, pidx, t_in, t_out, sat) = jax.lax.scan(
+        body, None, (origin, direction))
+    offs = (jnp.arange(nchunks, dtype=jnp.int32) * chunk_rays)[:, None]
+    ridx = jnp.where(ridx >= 0, ridx + offs, -1)
+    out = _pack_chunks(ridx.reshape(-1), pidx.reshape(-1),
+                       t_in.reshape(-1), t_out.reshape(-1))
+    return out + (jnp.any(sat),)
+
+
 def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
                        direction, level, return_depth=True, with_exit=False,
-                       max_nuggets=None, trim=True, max_hits_per_ray=None,
+                       max_nuggets=None, trim=True, return_info=False,
+                       chunk_rays=None, max_hits_per_ray=None,
                        max_steps=None):
     """Trace rays against an SPC octree.
 
@@ -254,40 +330,83 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
         exsum: (num_bytes + 1,) int32.
         origin: (num_rays, 3) float ray origins in [-1, 1] space.
         direction: (num_rays, 3) float ray directions.
-        level: target octree level.
+        level: target octree level (<= 15, the SPC int16-coord limit).
         return_depth: also return entry depths.
         with_exit: also return exit depths.
-        max_nuggets: static nugget-buffer capacity, shared by every
-            level of the traversal (default ``4 * num_rays``, min
-            ``num_rays``).  If any level's true intersection count
-            exceeds it the overflow is dropped (a warning is emitted
-            when ``trim`` and a saturation flag is observable via the
-            -1 padding otherwise) — size it to the scene; final counts
-            are typically well under ``num_rays`` for surface octrees.
+        max_nuggets: static nugget-buffer capacity; the cap applies to
+            EVERY level of the traversal (intermediate BFS frontiers,
+            not just the packed output).  Default ``8 * num_rays``, min
+            ``num_rays``.  If any level's true intersection count
+            exceeds it the overflow is silently dropped; saturation is
+            reported ONLY via the ``trim`` path's warning or the
+            ``return_info`` saturation flag — the -1 padding of the
+            ``trim=False`` output is NOT a reliable signal (a saturated
+            buffer can come back full).  Size it to the scene; final
+            counts are typically well under ``num_rays`` for surface
+            octrees, but volume-dense octrees can need far more.
         trim: outside jit, trim outputs to the true intersection count
-            (matches reference's dynamic shapes).  Under jit, set False
-            and use the returned count/validity (``ridx == -1`` padding).
+            (matches reference's dynamic shapes).  This host-syncs on
+            the count (one scalar device->host transfer per call).
+            Under jit, set False and use ``return_info`` for the valid
+            count / saturation flag.
+        return_info: also return a :class:`RaytraceInfo` (device
+            scalars: valid-nugget ``count``, ``saturated`` flag) as the
+            last output — the jit-compatible way to detect dropped hits.
+        chunk_rays: trace rays in chunks of this size, reusing one
+            compiled BFS per chunk shape (both compile time and runtime
+            of a BFS pass scale with its nugget capacity, so chunking is
+            how large ray counts stay fast: 1M rays = 16 x 64K chunks).
+            Default: no chunking up to 128K rays, 64K chunks above.
+            Pass 0 to disable chunking.
         max_hits_per_ray, max_steps: deprecated (accepted for backward
             compatibility; the BFS traversal has no per-ray cap).
 
     Returns:
-        (ridx, pidx[, depth]): intersection ray / point indices, and
-        depths (num_nuggets, 1) or (num_nuggets, 2) if ``with_exit``.
+        (ridx, pidx[, depth][, info]): intersection ray / point indices,
+        depths (num_nuggets, 1) or (num_nuggets, 2) if ``with_exit``,
+        and a :class:`RaytraceInfo` if ``return_info``.
     """
     del max_hits_per_ray, max_steps  # deprecated (t-marching engine)
+    if level > 15:
+        raise ValueError(
+            f'unbatched_raytrace: level={level} > 15 (SPC int16 coord '
+            'limit, reference KAOLIN_SPC_MAX_LEVELS)')
     num_rays = origin.shape[0]
     if max_nuggets is None:
-        max_nuggets = num_rays * 4
+        max_nuggets = num_rays * 8
     cap = max(int(max_nuggets), num_rays)
+    if chunk_rays is None:
+        chunk_rays = num_rays if num_rays <= (1 << 17) else (1 << 16)
+    chunk_rays = int(chunk_rays) or num_rays
 
-    ridx, pidx, t_in, t_out, count, sat = _raytrace_bfs(
-        jnp.asarray(octree), jnp.asarray(exsum),
-        jnp.asarray(origin), jnp.asarray(direction),
-        level, cap)
+    octree = jnp.asarray(octree)
+    exsum = jnp.asarray(exsum)
+    origin = jnp.asarray(origin)
+    direction = jnp.asarray(direction)
+
+    if chunk_rays >= num_rays:
+        ridx, pidx, t_in, t_out, count, sat = _raytrace_bfs(
+            octree, exsum, origin, direction, level, cap)
+    else:
+        nchunks = -(-num_rays // chunk_rays)
+        cap_chunk = max(-(-cap // nchunks), chunk_rays)
+        pad = nchunks * chunk_rays - num_rays
+        if pad:
+            # padded rays start outside [-1,1]^3 moving away -> no hits
+            origin = jnp.concatenate(
+                [origin, jnp.full((pad, 3), 3., origin.dtype)])
+            direction = jnp.concatenate(
+                [direction, jnp.ones((pad, 3), direction.dtype)])
+        ridx, pidx, t_in, t_out, count, sat = _raytrace_chunks(
+            octree, exsum,
+            origin.reshape(nchunks, chunk_rays, 3),
+            direction.reshape(nchunks, chunk_rays, 3), level, cap_chunk)
+
     if with_exit:
         depths = jnp.stack([t_in, t_out], axis=-1)
     else:
         depths = t_in[:, None]
+    info = RaytraceInfo(count=count, saturated=sat)
     if trim:
         if bool(sat):
             import warnings
@@ -297,9 +416,12 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
                 'raise max_nuggets', RuntimeWarning)
         n = int(count)
         ridx, pidx, depths = ridx[:n], pidx[:n], depths[:n]
+    out = (ridx, pidx)
     if return_depth:
-        return ridx, pidx, depths
-    return ridx, pidx
+        out = out + (depths,)
+    if return_info:
+        out = out + (info,)
+    return out
 
 
 def mark_pack_boundaries(pack_ids):

@@ -28,7 +28,7 @@ tab1 = jnp.asarray(rng.random(N).astype(np.float32))
 timed('scalar gather 1M', lambda: tab1[idx].sum())
 
 tab128 = jnp.asarray(rng.random((N // 16, 128)).astype(np.float32))
-idx16 = idx[:N // 16 if False else M] % (N // 16)
+idx16 = idx[:M] % (N // 16)
 timed('row gather 1M x 128lane', lambda: tab128[idx16].sum())
 
 tab8 = jnp.asarray(rng.random((N, 8)).astype(np.float32))

@@ -82,11 +82,47 @@ def test_sharded_dibr_render_matches_single(eight_devices):
                                np.asarray(imgs_single), atol=1e-5)
 
 
+def test_sharded_fused_selection_matches_single(eight_devices):
+    """The fused Pallas selection engine (interpret mode off-TPU) under
+    shard_map: per-device view shards must reproduce the unsharded
+    selection exactly (VERDICT r3 #4 — the production backend had never
+    executed under sharding)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from kaolin_tpu.models import inverse_render as M
+    from kaolin_tpu.io import obj
+
+    mesh = make_mesh((8,), ('data',))
+    m = obj.import_mesh('/root/reference/sample_data/meshes/ico_smooth.obj',
+                        triangulate=True)
+    faces = jnp.asarray(np.asarray(m.faces))
+    params = M.init_params(m, texture_res=16)
+    views = M.make_views(8)
+    H = W = 64
+
+    def select_local(p, rot, trans):
+        v = M.CameraViews(rot, trans, views.camera_proj)
+        face_idx, sel = M.compute_selection(p, v, faces, H, W,
+                                            backend='fused')
+        return face_idx, sel.prod
+
+    sharded = shard_map(
+        select_local, mesh=mesh,
+        in_specs=(P(), P('data'), P('data')),
+        out_specs=(P('data'), P('data')), check_rep=False)
+    fid_s, prod_s = sharded(params, views.camera_rot, views.camera_trans)
+    fid_1, prod_1 = select_local(params, views.camera_rot,
+                                 views.camera_trans)
+    np.testing.assert_array_equal(np.asarray(fid_s), np.asarray(fid_1))
+    np.testing.assert_allclose(np.asarray(prod_s), np.asarray(prod_1),
+                               atol=1e-6)
+
+
 def test_graft_entry_dryrun():
     import importlib
     import __graft_entry__ as g
     importlib.reload(g)
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    assert out[0].shape == (2, 64, 64, 3)
+    assert out[0].shape == (1, 512, 512, 3)
     g.dryrun_multichip(4)

@@ -176,3 +176,92 @@ class TestRaytrace:
         ridx, pidx, depth = spc_render.unbatched_raytrace(
             octree, ph, pyramid, exsum, orig, dirs, 1)
         assert np.asarray(ridx).shape[0] == 0
+
+    def test_chunked_matches_unchunked(self):
+        # 32 rays traced as 4x8-ray chunks must give identical nuggets
+        pts = np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing='ij'),
+                       axis=-1).reshape(-1, 3)
+        octree, pyramid, exsum, ph = build(pts, 2)
+        rng = np.random.default_rng(1)
+        n = 32
+        orig = jnp.asarray(np.stack([
+            rng.uniform(-0.9, 0.9, n), rng.uniform(-0.9, 0.9, n),
+            np.full(n, 2.)], axis=-1).astype(np.float32))
+        dirs = np.stack([rng.uniform(-.1, .1, n), rng.uniform(-.1, .1, n),
+                         np.full(n, -1.)], axis=-1)
+        dirs = jnp.asarray(
+            (dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+            .astype(np.float32))
+        ref = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 2)
+        out = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 2, chunk_rays=8)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    def test_chunked_ragged_last_chunk(self):
+        # num_rays not a multiple of chunk_rays: padded rays add no hits
+        octree, pyramid, exsum, ph = build([[0, 0, 0], [1, 1, 1]], 1)
+        n = 11
+        orig = jnp.asarray(np.stack([
+            np.linspace(-0.9, 0.9, n), np.linspace(-0.9, 0.9, n),
+            np.full(n, 2.)], axis=-1).astype(np.float32))
+        dirs = jnp.asarray(np.broadcast_to(
+            np.array([0., 0., -1.], np.float32), (n, 3)).copy())
+        ref = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 1)
+        out = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 1, chunk_rays=4)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    def test_level0_compacted(self):
+        # level 0: miss/hit/miss pattern must return a packed prefix of
+        # hits only (regression: misses used to leave -1 holes)
+        octree, pyramid, exsum, ph = build([[0, 0, 0]], 1)
+        orig = jnp.array([[5., 5., 2.], [-0.5, -0.5, 2.], [5., -5., 2.]])
+        dirs = jnp.array([[0., 0., -1.]] * 3)
+        ridx, pidx, depth, info = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 0, trim=False,
+            return_info=True)
+        r = np.asarray(ridx)
+        n = int(info.count)
+        assert n == 1
+        assert r[0] == 1 and (r[1:] == -1).all()
+        assert not bool(info.saturated)
+        # root voxel spans [-1,1]^3; entry at z=1 -> depth 1.0
+        np.testing.assert_allclose(np.asarray(depth)[0, 0], 1.0, rtol=1e-5)
+
+    def test_level0_trimmed(self):
+        octree, pyramid, exsum, ph = build([[0, 0, 0]], 1)
+        orig = jnp.array([[5., 5., 2.], [-0.5, -0.5, 2.]])
+        dirs = jnp.array([[0., 0., -1.]] * 2)
+        ridx, pidx, depth = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 0)
+        assert np.asarray(ridx).tolist() == [1]
+        np.testing.assert_allclose(np.asarray(depth)[0, 0], 1.0, rtol=1e-5)
+
+    def test_saturation_reported_via_info(self):
+        # one ray with 4 true hits and cap=2: jit path must flag the drop
+        pts = np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing='ij'),
+                       axis=-1).reshape(-1, 3)
+        octree, pyramid, exsum, ph = build(pts, 2)
+        orig = jnp.array([[-0.9, -0.9, 2.0]])
+        dirs = jnp.array([[0., 0., -1.]])
+        ridx, pidx, depth, info = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 2, trim=False,
+            max_nuggets=2, return_info=True)
+        assert bool(info.saturated)
+        with pytest.warns(RuntimeWarning, match='saturated'):
+            spc_render.unbatched_raytrace(
+                octree, ph, pyramid, exsum, orig, dirs, 2, max_nuggets=2)
+
+    def test_level_limit(self):
+        octree, pyramid, exsum, ph = build([[0, 0, 0]], 1)
+        orig = jnp.array([[0., 0., 2.]])
+        dirs = jnp.array([[0., 0., -1.]])
+        with pytest.raises(ValueError, match='level'):
+            spc_render.unbatched_raytrace(
+                octree, ph, pyramid, exsum, orig, dirs, 16)
