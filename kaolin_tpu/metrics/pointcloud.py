@@ -60,6 +60,13 @@ def chamfer_distance(p1, p2, w1=1., w2=1., squared=True, chunk_size=4096):
 
     Returns:
         ``(B,)`` distances.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> p1 = jnp.array([[[0., 0., 0.], [1., 0., 0.]]])
+        >>> p2 = jnp.array([[[0., 0., 1.]]])
+        >>> chamfer_distance(p1, p2).tolist()
+        [2.5]
     """
     sdist1 = sided_distance(p1, p2, chunk_size)[0]
     sdist2 = sided_distance(p2, p1, chunk_size)[0]

@@ -13,6 +13,12 @@ def iou(pred, gt):
 
     Parity: ``kaolin/metrics/voxelgrid.py:19``.
 
+    Example:
+        >>> import jax.numpy as jnp
+        >>> pred = jnp.zeros((1, 2, 2, 2)).at[0, 0].set(1.)
+        >>> iou(pred, jnp.ones((1, 2, 2, 2))).tolist()
+        [0.5]
+
     Args:
         pred, gt: ``(B, X, Y, Z)``.
 

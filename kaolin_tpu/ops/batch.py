@@ -81,6 +81,15 @@ def list_to_packed(tensor_list) -> Tuple[jnp.ndarray, np.ndarray]:
         (packed_tensor, shape_per_tensor):
             packed_tensor is ``(sum_i numel_i / last_dim, last_dim)``,
             shape_per_tensor is host numpy ``(B, ndim - 1)``.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> packed, shapes = list_to_packed(
+        ...     [jnp.array([[1., 2.]]), jnp.array([[3., 4.], [5., 6.]])])
+        >>> packed.tolist()
+        [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+        >>> shapes.tolist()
+        [[1], [2]]
     """
     if len(tensor_list) == 0:
         raise ValueError("tensor_list is empty")
@@ -184,6 +193,13 @@ def list_to_padded(tensor_list, padding_value, max_shape=None) -> Tuple[jnp.ndar
     Returns:
         (padded_tensor, shape_per_tensor): padded is
         ``(B, *max_shape, last_dim)``.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> padded, shapes = list_to_padded(
+        ...     [jnp.array([[1., 2.]]), jnp.array([[3., 4.], [5., 6.]])], 0.)
+        >>> padded.tolist()
+        [[[1.0, 2.0], [0.0, 0.0]], [[3.0, 4.0], [5.0, 6.0]]]
     """
     shape_per_tensor = get_shape_per_tensor(tensor_list)
     max_shape = fill_max_shape(shape_per_tensor, max_shape)

@@ -23,6 +23,12 @@ def spherical2cartesian(azimuth, elevation, distance=None):
 
     Returns:
         (x, y, z) arrays.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> x, y, z = spherical2cartesian(jnp.zeros(1), jnp.zeros(1))
+        >>> (float(x[0]), float(y[0]), float(z[0]))
+        (1.0, 0.0, 0.0)
     """
     if distance is None:
         distance = 1.

@@ -65,6 +65,12 @@ def face_areas(vertices, faces):
 
     Parity: ``kaolin/ops/mesh/trianglemesh.py:97``.
 
+    Example:
+        >>> import jax.numpy as jnp
+        >>> v = jnp.array([[[0., 0., 0.], [1., 0., 0.], [0., 1., 0.]]])
+        >>> face_areas(v, jnp.array([[0, 1, 2]])).tolist()
+        [[0.5]]
+
     Args:
         vertices: ``(B, V, 3)``.
         faces: ``(F, 3)`` int.
@@ -191,6 +197,12 @@ def face_normals(face_vertices, unit=False):
     """Face normals of triangle meshes from per-face vertex positions.
 
     Parity: ``kaolin/ops/mesh/trianglemesh.py:313``.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> fv = jnp.array([[[[0., 0., 0.], [1., 0., 0.], [0., 1., 0.]]]])
+        >>> face_normals(fv, unit=True).tolist()
+        [[[0.0, 0.0, 1.0]]]
 
     Args:
         face_vertices: ``(B, F, 3, 3)``.

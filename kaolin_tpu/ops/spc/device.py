@@ -13,8 +13,9 @@ equivalents (SURVEY.md §7 M2 plan; parity:
 * octree bytes come from segment *sums* over morton-sorted voxels (after
   dedup each (parent, child) pair is unique, so OR == sum of distinct
   child bits);
-* morton codes fit int32 up to level 10 (30 bits) — levels above 10 use
-  the host builders.
+* morton codes are two-word ``(hi, lo)`` int32 pairs
+  (:func:`morton2_i32`), covering the reference's full level range
+  (<= 15, ``spc_math.h:37``) without int64.
 
 Everything returns (padded arrays, counts); trim on host if dynamic
 shapes are wanted.
@@ -50,6 +51,26 @@ def morton_i32(points):
         | _spread3(p[..., 2])
 
 
+def morton2_i32(points):
+    """Two-word morton codes valid through level 15 (the reference's
+    ``KAOLIN_SPC_MAX_LEVELS``, ``spc_math.h:37``): returns ``(hi, lo)``
+    int32 words holding bits [30, 45) and [0, 30) of the 45-bit code —
+    jnp has no int64 by default, so the code is a lexicographically
+    ordered pair instead."""
+    p = points.astype(jnp.int32)
+    lo = (_spread3(p[..., 0]) << 2) | (_spread3(p[..., 1]) << 1) \
+        | _spread3(p[..., 2])
+    ph = (p >> 10) & 0x1f
+    hi = (_spread3(ph[..., 0]) << 2) | (_spread3(ph[..., 1]) << 1) \
+        | _spread3(ph[..., 2])
+    return hi, lo
+
+
+def _morton2_parent(hi, lo):
+    """Shift a two-word morton code right by one level (>> 3)."""
+    return hi >> 3, ((hi & 7) << 27) | ((lo >> 3) & 0x7ffffff)
+
+
 def _compact(keep, arrays, cap):
     """Order-preserving compaction of rows where ``keep`` is True.
 
@@ -73,27 +94,30 @@ def _compact(keep, arrays, cap):
     return out, total, valid
 
 
-def _level_bytes(morton, valid, cap_parent):
+def _level_bytes(hi, lo, valid, cap_parent):
     """One bottom-up level: occupancy bytes of the (sorted, deduped,
     padded) child morton codes + the parent codes for the next level.
 
-    Returns (bytes (cap_parent,) uint8 padded, parent_morton
-    (cap_parent,), parent_count, parent_valid).
+    Morton codes are two-word ``(hi, lo)`` pairs (:func:`morton2_i32`).
+
+    Returns (bytes (cap_parent,) uint8 padded, parent (hi, lo),
+    parent_count, parent_valid).
     """
-    parent = morton >> 3
-    child = morton & 7
+    phi, plo = _morton2_parent(hi, lo)
+    child = lo & 7
     # first occurrence of each parent among valid entries
-    prev = jnp.concatenate([jnp.full((1,), -1, parent.dtype), parent[:-1]])
-    first = valid & ((parent != prev) | (jnp.arange(
-        parent.shape[0]) == 0))
+    prev_hi = jnp.concatenate([jnp.full((1,), -1, phi.dtype), phi[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), -1, plo.dtype), plo[:-1]])
+    first = valid & ((phi != prev_hi) | (plo != prev_lo) | (jnp.arange(
+        phi.shape[0]) == 0))
     # byte index of each entry = rank of its parent
     pidx = jnp.cumsum(first.astype(jnp.int32)) - 1
     nparents = jnp.sum(first.astype(jnp.int32))
     bits = jnp.where(valid, (1 << child).astype(jnp.int32), 0)
     bytes_ = jnp.zeros((cap_parent,), jnp.int32).at[
         jnp.clip(pidx, 0, cap_parent - 1)].add(bits)
-    (pm,), _, pvalid = _compact(first, (parent,), cap_parent)
-    return bytes_.astype(jnp.uint8), pm, nparents, pvalid
+    (pm_hi, pm_lo), _, pvalid = _compact(first, (phi, plo), cap_parent)
+    return bytes_.astype(jnp.uint8), (pm_hi, pm_lo), nparents, pvalid
 
 
 @functools.partial(jax.jit, static_argnames=('level', 'cap'))
@@ -106,42 +130,51 @@ def points_to_octree_device(points, valid, level, cap=None):
     Args:
         points: (N, 3) int coords in [0, 2^level); may contain duplicates.
         valid: (N,) bool mask of real entries.
-        level: octree depth (<= 10 for int32 morton).
+        level: octree depth (<= 15; two-word morton, :func:`morton2_i32`).
         cap: static per-level capacity (default N).
 
     Returns:
         (octree_bytes (sum of caps,) uint8 padded per level with the
         per-level payload front-aligned, level_counts (level,) int32 —
         bytes per level (level 0 byte last), total_bytes int32,
-        leaf_morton (cap,) int32 sorted deduped, leaf_count).
+        leaf_morton (cap, 2) int32 sorted deduped ``(hi, lo)`` code
+        words, leaf_count).
 
         The byte array layout matches the reference: root byte first,
         then level 1, ..., leaves' parents last.  Use
         :func:`pack_octree_host` to trim to a contiguous byte string.
     """
-    assert level <= 10, 'int32 morton supports level <= 10'
+    assert level <= 15, 'SPC supports level <= 15 (spc_math.h:37)'
     N = points.shape[0]
     if cap is None:
         cap = N
-    m = morton_i32(points)
+    hi, lo = morton2_i32(points)
     big = jnp.int32(2 ** 30)
-    key = jnp.where(valid, m, big)
-    key = jax.lax.sort(key)
+    key_hi = jnp.where(valid, hi, big)
+    key_lo = jnp.where(valid, lo, big)
+    key_hi, key_lo = jax.lax.sort((key_hi, key_lo), num_keys=2)
     # dedup
-    prev = jnp.concatenate([jnp.full((1,), -1, key.dtype), key[:-1]])
-    uniq_first = (key != prev) & (key < big)
-    (m,), leaf_count, valid_l = _compact(uniq_first, (key,), cap)
-    leaf_morton = jnp.where(valid_l, m, 0)
+    prev_hi = jnp.concatenate([jnp.full((1,), -1, key_hi.dtype),
+                               key_hi[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), -1, key_lo.dtype),
+                               key_lo[:-1]])
+    uniq_first = ((key_hi != prev_hi) | (key_lo != prev_lo)) \
+        & (key_hi < big)
+    (m_hi, m_lo), leaf_count, valid_l = _compact(
+        uniq_first, (key_hi, key_lo), cap)
+    leaf_morton = jnp.where(valid_l[:, None],
+                            jnp.stack([m_hi, m_lo], -1), 0)
 
     # the bottom-up byte pass is shape-uniform per level, so one
     # lax.scan body compiles once instead of ``level`` times
     def body(state, _):
-        cur_m, cur_valid = state
-        b, pm, nb, pvalid = _level_bytes(cur_m, cur_valid, cap)
+        (cur_hi, cur_lo), cur_valid = state
+        b, pm, nb, pvalid = _level_bytes(cur_hi, cur_lo, cur_valid, cap)
         return (pm, pvalid), (b, nb)
 
     (_, _), (level_bytes, level_counts) = jax.lax.scan(
-        body, (m, valid_l), None, length=level)  # deepest level first
+        body, ((m_hi, m_lo), valid_l), None,
+        length=level)  # deepest level first
     # assemble: level 0 (root parents of level-1) ... level-1 bytes
     octree = jnp.flip(level_bytes, axis=0).reshape(-1)
     counts = jnp.flip(level_counts, axis=0)
@@ -245,7 +278,7 @@ def mesh_to_spc_device(face_vertices, level, cap=2 ** 21):
 
     Args:
         face_vertices: (T, 3, 3) float32 triangles in [-1, 1].
-        level: target level (<= 10).
+        level: target level (<= 15).
         cap: static max surviving proposals per level (and max voxels).
 
     Returns:
@@ -256,7 +289,7 @@ def mesh_to_spc_device(face_vertices, level, cap=2 ** 21):
          bary (cap, 2) float32,
          count int32 — number of leaf voxels).
     """
-    assert level <= 10
+    assert level <= 15, 'SPC supports level <= 15 (spc_math.h:37)'
     T = face_vertices.shape[0]
     fv = face_vertices.astype(jnp.float32)
     fv9 = fv.reshape(T, 9)
@@ -304,13 +337,16 @@ def mesh_to_spc_device(face_vertices, level, cap=2 ** 21):
 
     # dedup voxels keeping the lowest triangle id (reference's lexsort
     # (morton, tri) + first-occurrence rule)
-    m = morton_i32(vox)
+    hi, lo = morton2_i32(vox)
     big = jnp.int32(2 ** 30)
-    key = jnp.where(valid, m, big)
-    key_s, tri_s, v0, v1, v2 = jax.lax.sort(
-        (key, tri, vox[:, 0], vox[:, 1], vox[:, 2]), num_keys=2)
-    prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
-    first = (key_s != prev) & (key_s < big)
+    key_hi = jnp.where(valid, hi, big)
+    key_lo = jnp.where(valid, lo, big)
+    kh, kl, tri_s, v0, v1, v2 = jax.lax.sort(
+        (key_hi, key_lo, tri, vox[:, 0], vox[:, 1], vox[:, 2]),
+        num_keys=3)
+    prev_hi = jnp.concatenate([jnp.full((1,), -1, kh.dtype), kh[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), -1, kl.dtype), kl[:-1]])
+    first = ((kh != prev_hi) | (kl != prev_lo)) & (kh < big)
     vox_s = jnp.stack([v0, v1, v2], axis=-1)
     (vox, tri), count, valid = _compact(first, (vox_s, tri_s), cap)
 

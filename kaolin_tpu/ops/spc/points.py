@@ -56,6 +56,12 @@ def points_to_morton(points):
 
     Parity: ``kaolin/ops/spc/points.py:79``.
 
+    Example:
+        >>> import numpy as np
+        >>> points_to_morton(
+        ...     np.array([[0, 0, 0], [0, 0, 1], [1, 1, 1]])).tolist()
+        [0, 1, 7]
+
     Args:
         points: (N, 3) integer coords (level <= 15, i.e. coords < 2^16).
 

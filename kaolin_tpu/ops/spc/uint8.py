@@ -21,6 +21,11 @@ def uint8_to_bits(uint8_t):
 
     Returns:
         (..., 8) bool array.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> uint8_to_bits(jnp.array([5], dtype=jnp.uint8)).tolist()
+        [[True, False, True, False, False, False, False, False]]
     """
     x = uint8_t.astype(jnp.int32)
     shifts = jnp.arange(8, dtype=jnp.int32)

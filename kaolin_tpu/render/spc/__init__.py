@@ -1,3 +1,6 @@
 from kaolin_tpu.render.spc.raytrace import (  # noqa: F401
-    unbatched_raytrace, mark_pack_boundaries, mark_first_hit, diff,
-    sum_reduce, cumsum, cumprod, exponential_integration)
+    RaytraceInfo, unbatched_raytrace, mark_pack_boundaries,
+    mark_first_hit, diff, sum_reduce, cumsum, cumprod,
+    exponential_integration)
+from kaolin_tpu.render.spc.raygen import (  # noqa: F401
+    generate_primary_rays, generate_shadow_rays)

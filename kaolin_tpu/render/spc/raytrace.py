@@ -428,6 +428,11 @@ def mark_pack_boundaries(pack_ids):
     """True at the first element of each pack.
 
     Parity: ``kaolin/render/spc/raytrace.py:86``.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> mark_pack_boundaries(jnp.array([0, 0, 1, 1, 1, 4])).tolist()
+        [True, False, True, False, False, True]
     """
     first = jnp.ones((1,), dtype=bool)
     rest = pack_ids[1:] != pack_ids[:-1]
@@ -504,6 +509,13 @@ def cumsum(feats, boundaries, exclusive=False, reverse=False):
     """Segmented cumulative sum (tf.math.cumsum semantics per pack).
 
     Parity: ``kaolin/render/spc/raytrace.py:221``.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> feats = jnp.array([[1.], [2.], [3.], [4.]])
+        >>> boundaries = jnp.array([True, False, True, False])
+        >>> cumsum(feats, boundaries).tolist()
+        [[1.0], [3.0], [3.0], [7.0]]
     """
     return _segmented_scan(feats, boundaries, exclusive, reverse, 'sum')
 

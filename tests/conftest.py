@@ -10,12 +10,18 @@ before any test module imports jax ops.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("KAOLIN_TPU_TESTS") == "1":
+    # opt-in real-TPU mode: leave the axon platform active so the
+    # @pytest.mark.tpu smoke tests exercise compiled Mosaic kernels
+    # (run: KAOLIN_TPU_TESTS=1 pytest tests/test_tpu_smoke.py)
+    import jax  # noqa: F401
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

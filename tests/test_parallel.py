@@ -126,3 +126,28 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (1, 512, 512, 3)
     g.dryrun_multichip(4)
+
+
+def test_tile_sharded_selection_matches_single(eight_devices):
+    """Image rows sharded over a (data, tile) mesh reproduce the
+    unsharded z-buffer selection exactly (SURVEY §2.3 tile axis)."""
+    from kaolin_tpu.parallel.tile import tile_sharded_selection
+    from kaolin_tpu.render.mesh.rasterization import rasterize_selection
+    from kaolin_tpu.models import inverse_render as M
+    from kaolin_tpu.io import obj
+    import kaolin_tpu as kal
+
+    mesh2d = make_mesh((2, 4), ('data', 'tile'))
+    m = obj.import_mesh('/root/reference/sample_data/meshes/ico_smooth.obj',
+                        triangulate=True)
+    faces = jnp.asarray(np.asarray(m.faces))
+    params = M.init_params(m, texture_res=16)
+    views = M.make_views(2)
+    H = W = 32
+    fvc, fvi, fn = jax.lax.stop_gradient(
+        M._prepare(params, views, faces))
+    valid = fn[..., 2] >= 0.
+    ref = rasterize_selection(H, W, fvc[..., 2], fvi, valid_faces=valid,
+                              backend='jnp')
+    out = tile_sharded_selection(mesh2d, fvc[..., 2], fvi, valid, H, W)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

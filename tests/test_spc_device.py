@@ -36,10 +36,11 @@ def test_points_to_octree_device_parity(level):
     octree_d = pack_octree_host(octree_p, counts, cap)
     np.testing.assert_array_equal(octree_d, octree_h)
     assert int(nbytes) == octree_h.shape[0]
-    # leaf morton = sorted unique morton codes
+    # leaf morton = sorted unique morton codes ((hi, lo) word pairs)
     expected = np.unique(np.asarray(points_to_morton(pts)))
-    np.testing.assert_array_equal(
-        np.asarray(leaf_m)[:int(leaf_n)].astype(np.int64), expected)
+    lm = np.asarray(leaf_m)[:int(leaf_n)].astype(np.int64)
+    combined = (lm[:, 0] << 30) | lm[:, 1]
+    np.testing.assert_array_equal(combined, expected)
 
 
 def _octa_mesh():
@@ -87,3 +88,42 @@ def test_mesh_to_spc_device_raytraceable():
         octree, ph, pyramids[0], exsum, jnp.asarray(origin),
         jnp.asarray(direction), level)
     assert int((np.asarray(ridx) >= 0).sum()) > 0
+
+
+@pytest.mark.parametrize('level', [11, 12])
+def test_points_to_octree_device_above_level10(level):
+    """Two-word morton lifts the old level-10 limit (reference supports
+    15, spc_math.h:37)."""
+    rng = np.random.RandomState(level)
+    n = 300
+    pts = rng.randint(0, 2 ** level, (n, 3))
+    octree_h = np.asarray(unbatched_points_to_octree(pts, level))
+    cap = 512
+    padded = np.zeros((cap, 3), np.int32)
+    padded[:n] = pts
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+    octree_p, counts, nbytes, leaf_m, leaf_n = points_to_octree_device(
+        jnp.asarray(padded), jnp.asarray(valid), level, cap=cap)
+    octree_d = pack_octree_host(octree_p, counts, cap)
+    np.testing.assert_array_equal(octree_d, octree_h)
+    expected = np.unique(np.asarray(points_to_morton(pts)))
+    lm = np.asarray(leaf_m)[:int(leaf_n)].astype(np.int64)
+    np.testing.assert_array_equal((lm[:, 0] << 30) | lm[:, 1], expected)
+
+
+def test_mesh_to_spc_device_parity_level12():
+    """A small triangle voxelized at level 12: device == host."""
+    fv = np.array([[[0.01, 0.0, 0.0],
+                    [0.0, 0.012, 0.0],
+                    [0.0, 0.0, 0.009]]], np.float32)
+    octree_h, pts_h, tri_h, bary_h = unbatched_mesh_to_spc(
+        fv.astype(np.float64), 12)
+    octree_d, pts_d, tri_d, bary_d = unbatched_mesh_to_spc_device(
+        fv, 12, cap=2 ** 14)
+    np.testing.assert_array_equal(np.asarray(octree_d),
+                                  np.asarray(octree_h))
+    np.testing.assert_array_equal(np.asarray(pts_d), np.asarray(pts_h))
+    np.testing.assert_array_equal(np.asarray(tri_d), np.asarray(tri_h))
+    np.testing.assert_allclose(np.asarray(bary_d), np.asarray(bary_h),
+                               atol=1e-3)

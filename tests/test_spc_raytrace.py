@@ -265,3 +265,42 @@ class TestRaytrace:
         with pytest.raises(ValueError, match='level'):
             spc_render.unbatched_raytrace(
                 octree, ph, pyramid, exsum, orig, dirs, 16)
+
+
+class TestRayGen:
+    def test_generate_primary_rays(self):
+        # identity transform: ray_o = (0,0,1) everywhere, ray_d = (px,py,0)
+        tf = jnp.eye(4)
+        ray_o, ray_d = spc_render.generate_primary_rays(4, 4, tf)
+        assert ray_o.shape == (16, 3) and ray_d.shape == (16, 3)
+        np.testing.assert_allclose(np.asarray(ray_o),
+                                   np.tile([0., 0., 1.], (16, 1)))
+        np.testing.assert_allclose(np.asarray(ray_d)[5], [1., 1., 0.])
+        np.testing.assert_allclose(np.asarray(ray_d)[7], [3., 1., 0.])
+
+    def test_generate_shadow_rays(self):
+        # rays down onto the z=0 plane; light above
+        ray_o = jnp.array([[0., 0., 2.], [1., 0., 2.], [0., 1., 2.]])
+        ray_d = jnp.array([[0., 0., -1.], [0., 0., 1.], [0., 0., -1.]])
+        light = jnp.array([0., 0., 5.])
+        plane = jnp.array([0., 0., 1., 0.])       # z = 0
+        src, dst, idx = spc_render.generate_shadow_rays(
+            ray_o, ray_d, light, plane)
+        # ray 1 points away from the plane -> filtered
+        np.testing.assert_array_equal(np.asarray(idx), [0, 2])
+        np.testing.assert_allclose(np.asarray(src),
+                                   np.tile([0., 0., 5.], (2, 1)))
+        # dirs are unit vectors from the light to the plane hits
+        d0 = np.asarray(dst)[0]
+        np.testing.assert_allclose(d0, [0., 0., -1.], atol=1e-6)
+        d1 = np.asarray(dst)[1]
+        expected = np.array([0., 1., -5.]) / np.linalg.norm([0., 1., -5.])
+        np.testing.assert_allclose(d1, expected, rtol=1e-5)
+
+    def test_shadow_rays_grazing_filtered(self):
+        ray_o = jnp.array([[0., 0., 1.]])
+        ray_d = jnp.array([[1., 0., 0.]])        # parallel to plane z=0
+        src, dst, idx = spc_render.generate_shadow_rays(
+            ray_o, ray_d, jnp.array([0., 0., 5.]),
+            jnp.array([0., 0., 1., 0.]))
+        assert np.asarray(idx).shape[0] == 0
