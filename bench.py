@@ -206,8 +206,11 @@ def _phase_spc(mesh):
     # 4x-rays capacity: the image-row chunking gives each 64K-ray chunk
     # a coherent slab of rays, whose intermediate BFS frontiers run
     # larger than a random ray mix (2x measurably saturates on this
-    # scene; saturation is re-checked after the JSON is banked)
-    kwargs = dict(trim=False, return_info=True, max_nuggets=4 * n_rays)
+    # scene; saturation is re-checked after the JSON is banked).  The
+    # first 5 levels run in a 2x coarse band — their frontiers are small
+    # and a level pass costs time proportional to its capacity.
+    kwargs = dict(trim=False, return_info=True, max_nuggets=4 * n_rays,
+                  max_nuggets_coarse=2 * n_rays, coarse_levels=5)
 
     def rt_step(carry):
         o, sat = carry

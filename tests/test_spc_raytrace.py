@@ -304,3 +304,43 @@ class TestRayGen:
             ray_o, ray_d, jnp.array([0., 0., 5.]),
             jnp.array([0., 0., 1., 0.]))
         assert np.asarray(idx).shape[0] == 0
+
+    def test_two_band_caps_match_default(self):
+        # coarse-band capacity schedule must not change results
+        pts = np.stack(np.meshgrid(*[np.arange(8)] * 3, indexing='ij'),
+                       axis=-1).reshape(-1, 3)
+        octree, pyramid, exsum, ph = build(pts, 3)
+        rng = np.random.default_rng(3)
+        n = 16
+        orig = jnp.asarray(np.stack([
+            rng.uniform(-0.9, 0.9, n), rng.uniform(-0.9, 0.9, n),
+            np.full(n, 2.)], axis=-1).astype(np.float32))
+        dirs = jnp.asarray(np.broadcast_to(
+            np.array([0., 0., -1.], np.float32), (n, 3)).copy())
+        ref = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 3,
+            max_nuggets=32 * n)
+        out = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 3,
+            max_nuggets=32 * n, max_nuggets_coarse=16 * n,
+            coarse_levels=2)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    def test_two_band_caps_chunked(self):
+        octree, pyramid, exsum, ph = build([[0, 0, 0], [1, 1, 1]], 1)
+        n = 12
+        orig = jnp.asarray(np.stack([
+            np.linspace(-0.9, 0.9, n), np.linspace(-0.9, 0.9, n),
+            np.full(n, 2.)], axis=-1).astype(np.float32))
+        dirs = jnp.asarray(np.broadcast_to(
+            np.array([0., 0., -1.], np.float32), (n, 3)).copy())
+        ref = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 1)
+        out = spc_render.unbatched_raytrace(
+            octree, ph, pyramid, exsum, orig, dirs, 1, chunk_rays=4,
+            max_nuggets=8 * n, max_nuggets_coarse=4 * n, coarse_levels=3)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
