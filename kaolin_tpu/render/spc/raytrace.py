@@ -392,11 +392,13 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
         max_nuggets_coarse, coarse_levels: optional two-band capacity
             schedule: the first ``coarse_levels`` BFS levels run with a
             ``max_nuggets_coarse`` buffer instead of ``max_nuggets``
-            (per chunk, scaled like ``max_nuggets``).  Runtime AND
-            compile time of a level pass scale with its capacity, and
-            coarse frontiers are small — on a level-10 surface octree a
-            1x-rays coarse band over the first 5 levels cuts total trace
-            time ~35% with no saturation.  Saturation of either band is
+            (per chunk, scaled like ``max_nuggets``).  A level pass
+            costs time proportional to its capacity, so shrink the band
+            whose frontiers are small.  CAUTION: for coherent camera-
+            grid rays the COARSE levels have the largest frontiers
+            (every ray crosses the same few large voxels), so a small
+            coarse band saturates first there — this knob pays off for
+            incoherent/sparse ray sets.  Saturation of either band is
             reported the same way.
         max_hits_per_ray, max_steps: deprecated (accepted for backward
             compatibility; the BFS traversal has no per-ray cap).

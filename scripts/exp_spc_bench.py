@@ -17,8 +17,8 @@ from kaolin_tpu.render.spc.raytrace import unbatched_raytrace
 
 LEVEL = int(os.environ.get('LEVEL', '10'))
 NRAYS = int(os.environ.get('NRAYS', str(1024 * 1024)))
-K_CAP = int(os.environ.get('K', '4'))          # max_nuggets = K_CAP * rays
-COARSE = int(os.environ.get('COARSE', '5'))    # coarse band levels
+K_CAP = int(os.environ.get('K', '3'))          # max_nuggets = K_CAP * rays
+COARSE = int(os.environ.get('COARSE', '0'))    # coarse band levels (opt-in)
 
 
 def fence(x):
@@ -54,8 +54,10 @@ direction = jnp.asarray(
 n = origin.shape[0]
 print(f'rays={n}', flush=True)
 
-kw = dict(trim=False, return_info=True, max_nuggets=K_CAP * n,
-          max_nuggets_coarse=max(K_CAP // 2, 1) * n, coarse_levels=COARSE)
+kw = dict(trim=False, return_info=True, max_nuggets=K_CAP * n)
+if COARSE:
+    kw.update(max_nuggets_coarse=max(K_CAP // 2, 1) * n,
+              coarse_levels=COARSE)
 
 
 def rt_step(carry):
