@@ -250,6 +250,48 @@ def _post_spc_check(saturated):
     _log(f'spc saturated={bool(saturated)}')
 
 
+def _phase_deftet(mesh):
+    """Config #4: DefTet sparse k-buffer render fwd+bwd at 256^2 over
+    the fox face soup.  Returns pixels/s (k-buffer depth-sorted render
+    + gradient to image-space vertices)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.models import inverse_render as M
+    from kaolin_tpu.render.mesh.deftet import deftet_sparse_render
+
+    H = W = 256
+    P = H * W
+    knum = 30
+    faces = jnp.asarray(np.asarray(mesh.faces))
+    params = M.init_params(mesh, texture_res=16)
+    views = M.make_views(1)
+    fvc, fvi, fn = jax.lax.stop_gradient(M._prepare(params, views, faces))
+    fvz = fvc[..., 2]
+    ys, xs = jnp.meshgrid(jnp.linspace(-1., 1., H),
+                          jnp.linspace(-1., 1., W), indexing='ij')
+    pixel_coords = jnp.stack([xs.reshape(-1), ys.reshape(-1)],
+                             -1)[None]                       # (1, P, 2)
+    render_ranges = jnp.broadcast_to(
+        jnp.asarray([[-1e4, 0.]]), (P, 2))[None]
+    feats = jnp.broadcast_to(fn[:, :, None, :],
+                             fn.shape[:2] + (3, 3))          # normals
+
+    def step(x):
+        def loss_fn(fvi_in):
+            out, fidx = deftet_sparse_render(
+                pixel_coords, render_ranges, fvz, fvi_in, feats,
+                knum=knum)
+            return jnp.sum(jnp.where((fidx >= 0)[..., None], out, 0.))
+        g = jax.grad(loss_fn)(x)
+        return x - 0.0 * g
+
+    dt, rtt = _time_steps_scan(step, fvi, K=4)
+    _log(f'deftet: {dt*1e3:.1f} ms/step (rtt {rtt*1e3:.0f} ms) -> '
+         f'{P/dt/1e6:.2f} Mpix/s, knum={knum}')
+    return P / dt
+
+
 def run_phases():
     height = width = 512
     errors = {}
@@ -290,6 +332,17 @@ def run_phases():
     else:
         _log('skipping SPC phase (soft budget)')
 
+    # ---- phase 2b: DefTet k-buffer render (config #4) ----------------
+    deftet_pix_per_s = None
+    if on_tpu and _elapsed() < SOFT_BUDGET - 90:
+        try:
+            deftet_pix_per_s = _phase_deftet(mesh)
+        except Exception as e:
+            errors['deftet'] = f'{type(e).__name__}: {e}'
+            _log(f'deftet FAILED: {errors["deftet"]}')
+    else:
+        _log('skipping deftet phase (soft budget / cpu)')
+
     # ---- phase 3: jnp baseline for vs_baseline -----------------------
     vs_baseline = 0.0
     if backend == 'jnp':
@@ -307,8 +360,11 @@ def run_phases():
     else:
         _log('skipping jnp baseline (soft budget)')
 
-    _emit(_result(mpix, vs_baseline, tris_per_s, rays_per_s,
-                  errors=errors or None))
+    out = _result(mpix, vs_baseline, tris_per_s, rays_per_s,
+                  errors=errors or None)
+    if deftet_pix_per_s is not None:
+        out["deftet_pixels_per_s"] = round(deftet_pix_per_s)
+    _emit(out)
     if spc_info is not None:
         _post_spc_check(spc_info)
 
