@@ -44,7 +44,10 @@ def test_chunked_raytrace_runs_level10():
     from kaolin_tpu.render.spc.raytrace import unbatched_raytrace
 
     rng = np.random.default_rng(1)
-    pts = rng.integers(0, 1024, (5000, 3))
+    # volume "dust" octrees are the worst case for intermediate BFS
+    # frontiers (a straight ray crosses ~5 occupied mid-level voxels per
+    # 5k points) — keep the cloud small and the capacity generous
+    pts = rng.integers(0, 1024, (1000, 3))
     octree = unbatched_points_to_octree_np(pts, 10)
     _, pyramids, exsum = scan_octrees(octree, np.array([octree.shape[0]]))
     n = 1 << 17
@@ -55,7 +58,8 @@ def test_chunked_raytrace_runs_level10():
         np.array([0., 0., 1.], np.float32), (n, 3)).copy())
     ridx, pidx, depths, info = unbatched_raytrace(
         octree, None, pyramids[0], exsum, origin, direction, 10,
-        trim=False, return_info=True, chunk_rays=1 << 16)
+        trim=False, return_info=True, chunk_rays=1 << 16,
+        max_nuggets=16 * n)
     count = int(info.count)
     assert count > 0
     assert not bool(info.saturated)
