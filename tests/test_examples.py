@@ -52,6 +52,12 @@ def test_example_sg_lighting_demo():
     assert 'done' in out
 
 
+def test_example_camera_tour():
+    out = _run_example('camera_tour.py')
+    assert 'done' in out
+    assert 'round-trip close: True' in out
+
+
 def _all_modules():
     """Every importable kaolin_tpu module (reference CI runs
     ``pytest --doctest-modules`` over the whole package,
