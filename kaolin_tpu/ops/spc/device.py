@@ -203,7 +203,10 @@ def pack_octree_device(octree_padded, level_counts, cap, out_cap=None):
     """
     levels = octree_padded.shape[0] // cap
     if out_cap is None:
-        out_cap = cap
+        # total octree bytes sum over ALL levels and can exceed the
+        # per-level cap (deep/sparse octrees where several levels each
+        # hold ~N nodes); the padded size is the only always-safe bound
+        out_cap = octree_padded.shape[0]
     j = jax.lax.broadcasted_iota(jnp.int32, (levels, cap), 1)
     keep = (j < level_counts[:, None]).reshape(-1)
     (packed,), total, _ = _compact(keep, (octree_padded,), out_cap)
@@ -291,6 +294,10 @@ def mesh_to_spc_device(face_vertices, level, cap=2 ** 21):
     """
     assert level <= 15, 'SPC supports level <= 15 (spc_math.h:37)'
     T = face_vertices.shape[0]
+    if T > cap:
+        raise ValueError(
+            f'mesh_to_spc_device: cap={cap} must be >= the face count '
+            f'({T}) — every face is a level-0 proposal')
     fv = face_vertices.astype(jnp.float32)
     fv9 = fv.reshape(T, 9)
 

@@ -32,9 +32,11 @@ def generate_primary_rays(width, height, tf):
     """
     tf = jnp.asarray(tf, jnp.float32)
     num = width * height
-    i = jnp.arange(num, dtype=jnp.float32)
-    px = jnp.mod(i, width)
-    py = jnp.floor(i / height)
+    # integer index arithmetic (the reference kernel uses integer
+    # division); a float32 arange loses exact pixel ids past 2^24
+    i = jnp.arange(num, dtype=jnp.int32)
+    px = jnp.mod(i, width).astype(jnp.float32)
+    py = (i // height).astype(jnp.float32)
     a = jnp.asarray([0., 0., 1., 0.]) @ tf
     b = jnp.stack([px, py, jnp.zeros_like(px), jnp.ones_like(px)],
                   axis=-1) @ tf

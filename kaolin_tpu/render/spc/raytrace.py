@@ -427,6 +427,11 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
     origin = jnp.asarray(origin)
     direction = jnp.asarray(direction)
 
+    if max_nuggets_coarse is not None and int(max_nuggets_coarse) > cap:
+        raise ValueError(
+            f'unbatched_raytrace: max_nuggets_coarse='
+            f'{int(max_nuggets_coarse)} exceeds max_nuggets={cap}; the '
+            'coarse band cannot be wider than the deep band')
     if chunk_rays >= num_rays:
         cap_c = (max(int(max_nuggets_coarse), num_rays)
                  if max_nuggets_coarse else None)
