@@ -21,6 +21,183 @@ import jax.numpy as jnp
 __all__ = ['deftet_sparse_render', '_naive_deftet_sparse_render']
 
 
+@functools.partial(jax.jit, static_argnames=('knum', 'eps', 'pixel_chunk',
+                                             'max_candidates'))
+def _deftet_render_binned(pixel_coords, render_ranges, face_vertices_z,
+                          face_vertices_image, face_features, valid_faces,
+                          knum, eps, max_candidates, pixel_chunk=1024):
+    """Spatially binned k-buffer render (single mesh) — selection AND
+    interpolation in one pass, mirroring the CUDA kernel's shared-memory
+    bbox tiles (``deftet_cuda.cu:62-100``) the TPU way:
+
+    * faces are sorted by quantized bbox center and grouped into chunks
+      of 64; per pixel chunk only face chunks whose bbox overlaps the
+      pixel chunk's bbox are tested (gathered at chunk granularity — the
+      only irregular access in the whole render);
+    * the first ``knum`` covering faces per pixel IN MESH ORDER (the
+      CUDA lane-allocation semantics) are extracted with argmin/one-hot
+      passes whose masked sums carry the differentiable payload
+      (barycentrics, depth, interpolated features) — no per-pixel
+      gathers, no scatters, fwd or bwd;
+    * slots are depth-sorted with a stable payload sort.
+
+    ``max_candidates`` (static) caps candidate faces per pixel chunk;
+    overflow drops whole face chunks (highest sort keys first) — size it
+    to the scene (for a P-pixel image a face chunk overlaps a pixel
+    chunk's bbox only if spatially close, so ``F / 4`` is generous for
+    meshes with any locality).  Returns (feats (P, knum, D),
+    face_idx (P, knum) depth-sorted, -1 pad).
+    """
+    F = face_vertices_z.shape[0]
+    P = pixel_coords.shape[0]
+    D = face_features.shape[-1]
+    CKf = max(1, -(-int(max_candidates) // 64))
+    fpad = (-F) % 64
+    Fp = F + fpad
+    nFc = Fp // 64
+    CKf = min(CKf, nFc)
+    C = CKf * 64
+    BIG = jnp.int32(2 ** 30)
+
+    fvi = jax.lax.stop_gradient(face_vertices_image)
+    fmin = jnp.min(fvi, axis=1)                       # (F, 2)
+    fmax = jnp.max(fvi, axis=1)
+
+    # ---- spatial sort by quantized bbox center (row-major) -----------
+    ctr = (fmin + fmax) * 0.5
+    clo = jnp.min(ctr, axis=0)
+    chi = jnp.max(ctr, axis=0)
+    q = jnp.clip(((ctr - clo) / jnp.maximum(chi - clo, 1e-12)
+                  * 1023.).astype(jnp.int32), 0, 1023)
+    perm = jnp.argsort(q[:, 1] * 1024 + q[:, 0], stable=True)
+
+    def pad64(a, fill=0.):
+        return jnp.pad(a, ((0, fpad),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    fvi_s = pad64(face_vertices_image[perm])          # (Fp, 3, 2) diff
+    fvz_s = pad64(face_vertices_z[perm])
+    ff_s = pad64(face_features[perm])                 # (Fp, 3, D)
+    fid_s = jnp.pad(perm.astype(jnp.int32), (0, fpad),
+                    constant_values=BIG)
+    valid_s = pad64(valid_faces[perm].astype(jnp.float32))
+    bmin_s = pad64(fmin[perm], fill=jnp.inf)
+    bmax_s = pad64(fmax[perm], fill=-jnp.inf)
+
+    cb_lo = bmin_s.reshape(nFc, 64, 2).min(axis=1)    # (nFc, 2)
+    cb_hi = bmax_s.reshape(nFc, 64, 2).max(axis=1)
+
+    # chunked differentiable tables
+    vt_g = jnp.concatenate([fvi_s.reshape(Fp, 6), fvz_s,
+                            ff_s.reshape(Fp, 3 * D)], axis=-1)
+    vt_g = vt_g.reshape(nFc, 64, 9 + 3 * D)
+    vt_m = jnp.stack([bmin_s[:, 0], bmin_s[:, 1], bmax_s[:, 0],
+                      bmax_s[:, 1], valid_s], -1).reshape(nFc, 64, 5)
+    fid_c = fid_s.reshape(nFc, 64)
+
+    # ---- pixel chunks + candidate face chunks ------------------------
+    ppad = (-P) % pixel_chunk
+    # pad pixels with a benign finite coord; their (0, 0) render range
+    # is empty so they never select anything, and the tail is sliced off
+    pc_all = jnp.pad(jax.lax.stop_gradient(pixel_coords),
+                     ((0, ppad), (0, 0)))
+    rr_all = jnp.pad(jax.lax.stop_gradient(render_ranges),
+                     ((0, ppad), (0, 0)))
+    nPc = (P + ppad) // pixel_chunk
+    pcs = pc_all.reshape(nPc, pixel_chunk, 2)
+    rrs = rr_all.reshape(nPc, pixel_chunk, 2)
+    plo = jnp.min(pcs, axis=1)                                # (nPc, 2)
+    phi = jnp.max(pcs, axis=1)
+    ov = ((cb_lo[None, :, 0] <= phi[:, None, 0])
+          & (cb_hi[None, :, 0] >= plo[:, None, 0])
+          & (cb_lo[None, :, 1] <= phi[:, None, 1])
+          & (cb_hi[None, :, 1] >= plo[:, None, 1]))           # (nPc, nFc)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, ov.shape, 1)
+    top, _ = jax.lax.top_k(jnp.where(ov, nFc - cidx, 0), CKf)
+    cand_ids = jnp.where(top > 0, nFc - top, nFc)             # (nPc, CKf)
+
+    # dump chunk (all invalid)
+    vt_g_f = jnp.concatenate([vt_g, jnp.zeros((1, 64, 9 + 3 * D))])
+    vt_m_f = jnp.concatenate([vt_m, jnp.zeros((1, 64, 5))])
+    fid_f = jnp.concatenate([fid_c, jnp.full((1, 64), BIG)])
+
+    def chunk_step(args):
+        ids, pcc, rrc = args            # (CKf,), (pc, 2), (pc, 2)
+        g = vt_g_f[ids].reshape(C, 9 + 3 * D)                 # diff
+        m = vt_m_f[ids].reshape(C, 5)
+        fid = fid_f[ids].reshape(C)
+        x0 = pcc[:, 0:1]                                      # (pc, 1)
+        y0 = pcc[:, 1:2]
+        in_bbox = ((x0 >= m[None, :, 0]) & (x0 < m[None, :, 2])
+                   & (y0 >= m[None, :, 1]) & (y0 < m[None, :, 3])
+                   & (m[None, :, 4] > 0.))
+        a_ex, a_ey = g[None, :, 0] - x0, g[None, :, 1] - y0   # (pc, C)
+        b_ex, b_ey = g[None, :, 2] - x0, g[None, :, 3] - y0
+        c_ex, c_ey = g[None, :, 4] - x0, g[None, :, 5] - y0
+        w0 = b_ex * c_ey - b_ey * c_ex
+        w1 = c_ex * a_ey - c_ey * a_ex
+        w2 = a_ex * b_ey - a_ey * b_ex
+        norm = w0 + w1 + w2
+        # sign(0) -> +1 here (degenerate/padded faces are never covered,
+        # but 0/0 would still poison gradients through the masked sums)
+        norm = norm + jnp.where(norm >= 0., eps, -eps)
+        w0, w1, w2 = w0 / norm, w1 / norm, w2 / norm
+        inside = (jax.lax.stop_gradient(w0) >= 0.) \
+            & (jax.lax.stop_gradient(w1) >= 0.) \
+            & (jax.lax.stop_gradient(w2) >= 0.)
+        depth = (w0 * g[None, :, 6] + w1 * g[None, :, 7]
+                 + w2 * g[None, :, 8])
+        dsg = jax.lax.stop_gradient(depth)
+        covered = (in_bbox & inside & (dsg > rrc[:, 0:1])
+                   & (dsg < rrc[:, 1:2]))                     # (pc, C)
+        feat = (w0[..., None] * g[None, :, 9:9 + D]
+                + w1[..., None] * g[None, :, 9 + D:9 + 2 * D]
+                + w2[..., None] * g[None, :, 9 + 2 * D:])     # (pc, C, D)
+
+        keys = jnp.where(covered, fid[None, :], BIG)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
+
+        def extract(k, state):
+            keys, out_f, out_d, out_i = state
+            am = jnp.argmin(keys, axis=-1)
+            mv = jnp.min(keys, axis=-1)
+            live = mv < BIG
+            one = iota_c == am[:, None]
+            sel = one & live[:, None]
+            d_k = jnp.sum(jnp.where(sel, depth, 0.), axis=-1)
+            f_k = jnp.sum(jnp.where(sel[..., None], feat, 0.), axis=-2)
+            out_f = out_f.at[:, k].set(f_k)
+            out_d = out_d.at[:, k].set(jnp.where(live, d_k, -jnp.inf))
+            out_i = out_i.at[:, k].set(jnp.where(live, mv, -1))
+            keys = jnp.where(sel, BIG, keys)
+            return keys, out_f, out_d, out_i
+
+        pc = pcc.shape[0]
+        state = (keys,
+                 jnp.zeros((pc, knum, D)),
+                 jnp.full((pc, knum), -jnp.inf),
+                 jnp.full((pc, knum), -1, jnp.int32))
+        _, out_f, out_d, out_i = jax.lax.fori_loop(
+            0, knum, extract, state)
+
+        # stable depth sort, near-to-far (descending; invalid -inf last)
+        neg_d = jax.lax.stop_gradient(-out_d)
+        key2 = jax.lax.broadcasted_iota(jnp.int32, out_i.shape, 1)
+        ops = jax.lax.sort(
+            (neg_d, key2, out_i, out_d) + tuple(
+                out_f[..., j] for j in range(D)),
+            dimension=1, num_keys=2, is_stable=False)
+        out_i = ops[2]
+        out_f = jnp.stack(ops[4:], axis=-1)
+        return out_f, out_i
+
+    feats, fidx = jax.lax.map(
+        chunk_step, (cand_ids, pcs, rrs))
+    feats = feats.reshape(-1, knum, D)[:P]
+    fidx = fidx.reshape(-1, knum)[:P]
+    return feats, fidx
+
+
 @functools.partial(jax.jit, static_argnames=('knum', 'eps', 'pixel_chunk'))
 def _deftet_select(pixel_coords, render_ranges, face_vertices_z,
                    face_vertices_image, valid_faces, knum, eps,
@@ -89,7 +266,8 @@ def _deftet_select(pixel_coords, render_ranges, face_vertices_z,
 
 def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
                          face_vertices_image, face_features, knum=300,
-                         valid_faces=None, eps=1e-8):
+                         valid_faces=None, eps=1e-8, max_candidates=None,
+                         pixel_chunk=1024):
     """Render all intersections per pixel, depth-sorted (k-buffer).
 
     Parity: ``kaolin/render/mesh/deftet.py:338``.
@@ -106,6 +284,16 @@ def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
             (the DMTet pipeline masks tet faces here; reference
             ``deftet.py:338`` kwarg).
         eps: barycentric normalization epsilon.
+        max_candidates: optional static cap enabling the spatially
+            BINNED engine (:func:`_deftet_render_binned`): per pixel
+            chunk only face chunks whose bbox overlaps the chunk's pixel
+            bbox are tested, capped at ``max_candidates`` faces (rounded
+            up to 64).  This is the fast path for large meshes (the
+            default tests every face against every pixel).  The cap must
+            cover the worst pixel chunk — overflow deterministically
+            drops the face chunks with the highest spatial sort keys,
+            like an undersized ``max_nuggets`` in the raytracer.
+        pixel_chunk: pixels per processing chunk (binned path).
 
     Returns:
         (interpolated_features ``(B, P, knum, D)`` [or list],
@@ -117,6 +305,22 @@ def deftet_sparse_render(pixel_coords, render_ranges, face_vertices_z,
     B, F = face_vertices_z.shape[:2]
     valid = (jnp.ones((B, F), dtype=bool) if valid_faces is None
              else jnp.asarray(valid_faces, dtype=bool))
+
+    if max_candidates is not None:
+        feats, sorted_idx = jax.vmap(
+            lambda pc, rr, fz, fi, ff, v: _deftet_render_binned(
+                pc, rr, fz, fi, ff, v, knum=knum, eps=float(eps),
+                max_candidates=int(max_candidates),
+                pixel_chunk=int(pixel_chunk)))(
+            pixel_coords, render_ranges, face_vertices_z,
+            face_vertices_image, features, valid)
+        if is_list:
+            out, cur = [], 0
+            for f in face_features:
+                out.append(feats[..., cur:cur + f.shape[-1]])
+                cur += f.shape[-1]
+            feats = out
+        return feats, sorted_idx
 
     kbuf = jax.vmap(lambda pc, rr, fz, fi, v: _deftet_select(
         pc, rr, fz, fi, v, knum=knum, eps=eps))(

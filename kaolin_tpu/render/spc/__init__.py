@@ -4,3 +4,5 @@ from kaolin_tpu.render.spc.raytrace import (  # noqa: F401
     exponential_integration)
 from kaolin_tpu.render.spc.raygen import (  # noqa: F401
     generate_primary_rays, generate_shadow_rays)
+from kaolin_tpu.render.spc.raster import (  # noqa: F401
+    CoherentHits, unbatched_raytrace_coherent, hits_to_nuggets)

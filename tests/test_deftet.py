@@ -1,3 +1,5 @@
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -151,3 +153,68 @@ class TestNaiveCrossCheck:
         fi = np.asarray(fidx)
         hit = fi[fi >= 0]
         assert hit.size > 0 and (hit % 2 == 0).all()
+
+
+class TestBinnedEngine:
+    """The spatially binned fast path (``max_candidates=...``) must match
+    the default all-faces selection exactly whenever the candidate cap
+    covers the scene."""
+
+    @pytest.fixture
+    def random_scene(self):
+        rng = np.random.RandomState(11)
+        B, F, P = 2, 120, 70
+        centers = rng.uniform(-0.8, 0.8, (B, F, 1, 2))
+        fvi = jnp.asarray(
+            (centers + rng.uniform(-0.2, 0.2, (B, F, 3, 2))
+             ).astype(np.float32))
+        fvz = jnp.asarray(
+            -rng.uniform(0.5, 3.0, (B, F, 3)).astype(np.float32))
+        ff = jnp.asarray(rng.randn(B, F, 3, 3).astype(np.float32))
+        pixels = jnp.asarray(
+            rng.uniform(-1., 1., (B, P, 2)).astype(np.float32))
+        ranges = jnp.tile(jnp.array([[[-1e4, 0.]]]), (B, P, 1))
+        return pixels, ranges, fvz, fvi, ff
+
+    @pytest.mark.parametrize('knum', [3, 16])
+    def test_forward_matches_default(self, random_scene, knum):
+        pixels, ranges, fvz, fvi, ff = random_scene
+        feats_d, fidx_d = deftet_sparse_render(
+            pixels, ranges, fvz, fvi, ff, knum=knum)
+        feats_b, fidx_b = deftet_sparse_render(
+            pixels, ranges, fvz, fvi, ff, knum=knum,
+            max_candidates=fvz.shape[1], pixel_chunk=32)
+        np.testing.assert_array_equal(np.asarray(fidx_d),
+                                      np.asarray(fidx_b))
+        np.testing.assert_allclose(np.asarray(feats_d),
+                                   np.asarray(feats_b), atol=1e-5)
+
+    def test_gradients_match_default(self, random_scene):
+        pixels, ranges, fvz, fvi, ff = random_scene
+
+        def loss(fvi_, fvz_, ff_, mc):
+            feats, _ = deftet_sparse_render(
+                pixels, ranges, fvz_, fvi_, ff_, knum=16,
+                max_candidates=mc)
+            return jnp.sum(jnp.sin(feats))
+
+        gd = jax.grad(functools.partial(loss, mc=None),
+                      argnums=(0, 1, 2))(fvi, fvz, ff)
+        gb = jax.grad(functools.partial(loss, mc=int(fvz.shape[1])),
+                      argnums=(0, 1, 2))(fvi, fvz, ff)
+        for a, b in zip(gd, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_valid_faces_and_feature_list(self, random_scene):
+        pixels, ranges, fvz, fvi, ff = random_scene
+        B, F = fvz.shape[:2]
+        mask = jnp.asarray(np.arange(F) % 3 != 0)[None].repeat(B, 0)
+        (f1, f2), fidx = deftet_sparse_render(
+            pixels, ranges, fvz, fvi, [ff, ff * -1.5], knum=8,
+            valid_faces=mask, max_candidates=F)
+        fi = np.asarray(fidx)
+        hit = fi[fi >= 0]
+        assert hit.size > 0 and (hit % 3 != 0).all()
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f1) * -1.5,
+                                   atol=1e-5)
