@@ -120,9 +120,10 @@ def _build_dibr(mesh, backend, height, width):
     def step_raw(p):
         """One full training step ending in a params-shaped pytree, so
         K steps chain inside a fori_loop (gradient applied with weight
-        0 to keep the trajectory, and therefore the work, identical)."""
+        1e-30 — an untouched trajectory in fp32, but not a multiply
+        XLA can constant-fold away like 0.0)."""
         g = grad_raw(p, selection_raw(p))
-        return jax.tree_util.tree_map(lambda a, b: a - 0.0 * b, p, g)
+        return jax.tree_util.tree_map(lambda a, b: a - 1e-30 * b, p, g)
 
     t0 = time.perf_counter()
     sel = jax.jit(selection_raw)(params)
@@ -170,13 +171,24 @@ def _time_steps_scan(step_fn, params, K):
 
 
 def _phase_spc(mesh):
-    """Config #3: level-10 octree from fox.obj, 1M rays. Returns rays/s."""
+    """Config #3: level-10 octree from fox.obj, 1M rays.
+
+    The octree build goes through the jit-able DEVICE builder
+    (``unbatched_mesh_to_spc_device``, the TPU redesign of
+    ``mesh_to_spc_cuda.cu:309-456``) with the host builder as fallback;
+    the trace uses the Mosaic raster engine (coherent camera rays,
+    ``render/spc/raster.py``) with exact per-ray hit counts at
+    knum=192 (> the scene's max 179 hits/ray).  Returns
+    (rays/s, saturation flag (device), total-hit count (device)).
+    """
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from kaolin_tpu.ops.conversions.trianglemesh import unbatched_mesh_to_spc
+    from kaolin_tpu.ops.conversions.trianglemesh import (
+        unbatched_mesh_to_spc, unbatched_mesh_to_spc_device)
     from kaolin_tpu.ops.spc.spc import scan_octrees, generate_points
-    from kaolin_tpu.render.spc.raytrace import unbatched_raytrace
+    from kaolin_tpu.render.spc.raster import (
+        build_cell_table, unbatched_raytrace_coherent, _block_order)
 
     level = 10
     v = np.asarray(mesh.vertices, np.float64)
@@ -185,41 +197,57 @@ def _phase_spc(mesh):
     v = (v - c) / s
     fv = v[np.asarray(mesh.faces)]
     t0 = time.perf_counter()
-    # host builder: returns a host-numpy octree so the host-side scan
-    # below involves no device readback
-    octree, points, face_idx, bary = unbatched_mesh_to_spc(fv, level)
-    _log(f'mesh_to_spc level={level}: {time.perf_counter()-t0:.1f}s, '
-         f'{points.shape[0]} voxels')
+    try:
+        octree_d, points, face_idx, bary = unbatched_mesh_to_spc_device(
+            jnp.asarray(fv, jnp.float32), level)
+        octree = np.asarray(octree_d)   # ~330KB d2h: scan runs on host
+        _log(f'mesh_to_spc DEVICE level={level}: '
+             f'{time.perf_counter()-t0:.1f}s, {points.shape[0]} voxels')
+    except Exception as e:
+        _log(f'device builder failed ({type(e).__name__}: {e}); '
+             'falling back to host')
+        t0 = time.perf_counter()
+        octree, points, face_idx, bary = unbatched_mesh_to_spc(fv, level)
+        _log(f'mesh_to_spc host level={level}: '
+             f'{time.perf_counter()-t0:.1f}s, {points.shape[0]} voxels')
     max_level, pyramids, exsum = scan_octrees(
         octree, np.array([octree.shape[0]]))
+    pyr0 = np.asarray(pyramids)[0]
     point_hierarchy = generate_points(jnp.asarray(octree), pyramids, exsum)
+    t0 = time.perf_counter()
+    table = build_cell_table(point_hierarchy, pyr0, level)
+    _log(f'cell table: {time.perf_counter()-t0:.1f}s')
 
     n_rays = 1024 * 1024
     side = 1024
     ys, xs = np.meshgrid(np.linspace(-0.9, 0.9, side),
                          np.linspace(-0.9, 0.9, side), indexing='ij')
-    origin = jnp.asarray(np.stack(
-        [xs.ravel(), ys.ravel(), np.full(side * side, -2.5)], -1),
-        jnp.float32)
+    origin = np.stack(
+        [xs.ravel(), ys.ravel(), np.full(side * side, -2.5)],
+        -1).astype(np.float32)
     direction = np.stack([xs.ravel() * 0.1, ys.ravel() * 0.1,
                           np.ones(side * side)], -1)
-    direction = jnp.asarray(
-        direction / np.linalg.norm(direction, axis=-1, keepdims=True),
-        jnp.float32)
+    direction = (direction / np.linalg.norm(
+        direction, axis=-1, keepdims=True)).astype(np.float32)
+    # block tiling (4x4 pixel beams): permute once, outside the loop
+    perm, _ = _block_order(side, side, 4, 4)
+    origin = jnp.asarray(origin[perm])
+    direction = jnp.asarray(direction[perm])
 
-    # 3x-rays capacity: the image-row chunking gives each 64K-ray chunk
-    # a coherent slab of rays whose intermediate BFS frontiers exceed 2x
-    # (measured saturating) but fit 3x; 3x also runs >2x faster than 4x
-    # (XLA layout cliff above ~3M-element buffers, measured 894 vs
-    # 2360 ms).  Saturation is re-checked after the JSON is banked.
-    kwargs = dict(trim=False, return_info=True, max_nuggets=3 * n_rays)
+    # knum=192 > the scene's max hits/ray (179 per-column worst case);
+    # non-saturation is re-verified after the JSON is banked
+    kwargs = dict(engine='mosaic', cell_table=table, knum=192,
+                  with_exit=False, max_active_blocks=16384)
 
     def rt_step(carry):
-        o, sat = carry
-        ridx, pidx, depths, info = unbatched_raytrace(
-            octree, point_hierarchy, pyramids[0], exsum, o, direction,
-            level, **kwargs)
-        return origin + 0.0 * depths[:n_rays, :1], sat | info.saturated
+        o, sat, cnt = carry
+        hits = unbatched_raytrace_coherent(
+            octree, point_hierarchy, pyr0, exsum, o, direction, level,
+            **kwargs)
+        tn0 = jnp.where(jnp.isfinite(hits.t_near[:, :1]),
+                        hits.t_near[:, :1], 0.)
+        return (origin + 1e-30 * tn0, sat | hits.saturated,
+                jnp.sum(hits.count))
 
     K = 4
 
@@ -227,7 +255,7 @@ def _phase_spc(mesh):
     def multi(o):
         return jax.lax.fori_loop(
             0, K, lambda i, c: rt_step(c),
-            (o, jnp.zeros((), bool)))
+            (o, jnp.zeros((), bool), jnp.zeros((), jnp.int32)))
 
     t0 = time.perf_counter()
     out = multi(origin)
@@ -241,13 +269,118 @@ def _phase_spc(mesh):
     _fence(out[0])
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / K
     _log(f'raytrace: {dt*1e3:.1f} ms/iter (fence rtt {rtt*1e3:.0f} ms)')
-    return n_rays / dt, out[1]
+    return n_rays / dt, out[1], out[2]
 
 
-def _post_spc_check(saturated):
-    """Best-effort saturation report (single tiny d2h) — runs after all
-    JSON lines are banked, so a stalled readback costs nothing."""
-    _log(f'spc saturated={bool(saturated)}')
+def _post_spc_check(saturated, count=None):
+    """Best-effort saturation report (tiny d2h) — runs after all JSON
+    lines are banked, so a stalled readback costs nothing."""
+    _log(f'spc saturated={bool(saturated)}'
+         + ('' if count is None else f' total_hits={int(count)}'))
+
+
+def _phase_dibr_breakdown(mesh, height, width):
+    """Per-phase DIB-R timings (selection fwd / epilogue fwd / epilogue
+    bwd) + achieved rates vs the fused kernels' own CostEstimate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from kaolin_tpu.models import inverse_render as M
+
+    faces = jnp.asarray(np.asarray(mesh.faces))
+    face_uvs = jnp.asarray(
+        np.asarray(mesh.uvs)[np.asarray(mesh.face_uvs_idx)])
+    params = M.init_params(mesh, texture_res=256)
+    views = M.make_views(1)
+    target_images = jnp.zeros((1, height, width, 3))
+    target_masks = jnp.zeros((1, height, width))
+
+    def sel_step(p):
+        sel = M.compute_selection(p, views, faces, height, width,
+                                  backend='fused')
+        s0 = sel[1].prod.reshape(-1)[0]
+        return jax.tree_util.tree_map(lambda a: a - 1e-30 * s0, p)
+
+    sel = jax.jit(lambda p: M.compute_selection(
+        p, views, faces, height, width, backend='fused'))(params)
+
+    def loss_step(p):
+        val = M.render_loss(p, views, faces, face_uvs, target_images,
+                            target_masks, height, width, selection=sel)
+        return jax.tree_util.tree_map(lambda a: a - 1e-30 * val, p)
+
+    grad_fn = jax.grad(lambda p: M.render_loss(
+        p, views, faces, face_uvs, target_images, target_masks,
+        height, width, selection=sel))
+
+    def grad_step(p):
+        g = grad_fn(p)
+        return jax.tree_util.tree_map(lambda a, b: a - 1e-30 * b, p, g)
+
+    t_sel, _ = _time_steps_scan(sel_step, params, K=16)
+    t_fwd, _ = _time_steps_scan(loss_step, params, K=16)
+    t_grad, _ = _time_steps_scan(grad_step, params, K=16)
+    phases = {
+        'selection_fwd_ms': round(t_sel * 1e3, 2),
+        'epilogue_fwd_ms': round(t_fwd * 1e3, 2),
+        'epilogue_bwd_ms': round(max(t_grad - t_fwd, 0.) * 1e3, 2),
+    }
+    # roofline anchor: the fused forward kernel's own CostEstimate at
+    # this shape vs achieved time (v5e VPU ~3.5e12 f32 flop/s peak)
+    from kaolin_tpu.render.mesh import _fused as F
+    B, Fn = 1, int(faces.shape[0])
+    nC = -(-Fn // F.FC)
+    hp, wp = F._padded_dims(height, width)
+    nI, nJ, TW = F._tile_dims(hp, wp)
+    T = nI * nJ
+    est_flops = B * T * F.PS * TW * nC * F.FC // 4
+    phases['selection_est_gflop'] = round(est_flops / 1e9, 2)
+    phases['selection_achieved_gflops'] = round(
+        est_flops / max(t_sel, 1e-9) / 1e9, 1)
+    _log(f'dibr phases: {phases}')
+    return phases
+
+
+def _phase_dibr_hires_faces(mesh, height, width):
+    """Second triangles/s point: 4x-subdivided fox (~168k faces)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from kaolin_tpu.ops.mesh.trianglemesh import subdivide_trianglemesh
+    from kaolin_tpu.models import inverse_render as M
+
+    v = jnp.asarray(np.asarray(mesh.vertices))[None]
+    f = jnp.asarray(np.asarray(mesh.faces))
+    v2, f2 = subdivide_trianglemesh(v, f, 2)
+    n_faces = int(f2.shape[0])
+
+    class _M:
+        pass
+    m2 = _M()
+    m2.vertices = v2[0]
+    params = M.init_params(m2, texture_res=256)
+    views = M.make_views(1)
+    face_uvs = jnp.zeros((n_faces, 3, 2), jnp.float32)
+    target_images = jnp.zeros((1, height, width, 3))
+    target_masks = jnp.zeros((1, height, width))
+
+    def selection_raw(p):
+        return M.compute_selection(p, views, f2, height, width,
+                                   backend='fused')
+
+    grad_raw = jax.grad(
+        lambda p, sel: M.render_loss(
+            p, views, f2, face_uvs, target_images, target_masks,
+            height, width, selection=sel))
+
+    def step(p):
+        g = grad_raw(p, selection_raw(p))
+        return jax.tree_util.tree_map(lambda a, b: a - 1e-30 * b, p, g)
+
+    dt, rtt = _time_steps_scan(step, params, K=8)
+    _log(f'hires dibr ({n_faces} faces): {dt*1e3:.1f} ms/step -> '
+         f'{n_faces/dt/1e6:.2f} Mtris/s')
+    return n_faces / dt, n_faces
 
 
 def _phase_deftet(mesh):
@@ -281,10 +414,10 @@ def _phase_deftet(mesh):
         def loss_fn(fvi_in):
             out, fidx = deftet_sparse_render(
                 pixel_coords, render_ranges, fvz, fvi_in, feats,
-                knum=knum)
+                knum=knum, max_candidates=2048, pixel_chunk=1024)
             return jnp.sum(jnp.where((fidx >= 0)[..., None], out, 0.))
         g = jax.grad(loss_fn)(x)
-        return x - 0.0 * g
+        return x - 1e-30 * g
 
     dt, rtt = _time_steps_scan(step, fvi, K=4)
     _log(f'deftet: {dt*1e3:.1f} ms/step (rtt {rtt*1e3:.0f} ms) -> '
@@ -317,12 +450,28 @@ def run_phases():
     # bank the headline number immediately
     _emit(_result(mpix, 0.0, tris_per_s, errors=errors or None))
 
+    # ---- phase 1b: DIB-R phase breakdown + hires triangles point -----
+    dibr_phases = None
+    hires = None
+    if on_tpu and mpix > 0 and _elapsed() < SOFT_BUDGET - 300:
+        try:
+            dibr_phases = _phase_dibr_breakdown(mesh, height, width)
+        except Exception as e:
+            errors['dibr_phases'] = f'{type(e).__name__}: {e}'
+            _log(f'dibr breakdown FAILED: {errors["dibr_phases"]}')
+        try:
+            hires = _phase_dibr_hires_faces(mesh, height, width)
+        except Exception as e:
+            errors['dibr_hires'] = f'{type(e).__name__}: {e}'
+            _log(f'dibr hires FAILED: {errors["dibr_hires"]}')
+
     # ---- phase 2: SPC raytrace (config #3) ---------------------------
     rays_per_s = None
     spc_info = None
     if _elapsed() < SOFT_BUDGET - 120:
         try:
-            rays_per_s, spc_info = _phase_spc(mesh)
+            rays_per_s, spc_sat, spc_cnt = _phase_spc(mesh)
+            spc_info = (spc_sat, spc_cnt)
             _log(f'spc raytrace: {rays_per_s/1e6:.2f} Mrays/s')
         except Exception as e:
             errors['spc'] = f'{type(e).__name__}: {e}'
@@ -364,9 +513,14 @@ def run_phases():
                   errors=errors or None)
     if deftet_pix_per_s is not None:
         out["deftet_pixels_per_s"] = round(deftet_pix_per_s)
+    if dibr_phases is not None:
+        out["dibr_phase_ms"] = dibr_phases
+    if hires is not None:
+        out["triangles_per_s_168k"] = round(hires[0])
+        out["hires_faces"] = hires[1]
     _emit(out)
     if spc_info is not None:
-        _post_spc_check(spc_info)
+        _post_spc_check(*spc_info)
 
 
 # --------------------------------------------------------------------------

@@ -141,13 +141,15 @@ def dibr_soft_mask_select(face_vertices_image, selected_face_idx,
     return jax.lax.stop_gradient(kbuf)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _soft_mask_epilogue(fvi_scaled, kbuf, empty, sigmainv, multiplier,
-                        hw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _soft_mask_epilogue(fvi_scaled, kbuf, empty, xs, ys, sigmainv,
+                        multiplier):
     """Differentiable soft-mask epilogue over a fixed k-buffer.
 
     fvi_scaled: (B, F, 3, 2); kbuf: (B, H, W, K) int32 (-1 padded);
-    empty: (B, H, W) bool; hw = (H, W) static.  Returns (B, H, W) mask.
+    empty: (B, H, W) bool; xs (W,) / ys (H,) pixel-center coords (scaled)
+    — pass a row slice of the full image's ``ys`` to evaluate a row slab
+    (the tile-sharded path).  Returns (B, H, W) mask.
 
     ``custom_vjp``: the autodiff backward of the 6-branch min-distance
     chain materializes dozens of (B, H, W, K) intermediates in HBM
@@ -157,7 +159,8 @@ def _soft_mask_epilogue(fvi_scaled, kbuf, empty, sigmainv, multiplier,
     one fused elementwise pass, selects the argmin branch with masks,
     and accumulates vertex grads with a single scatter-add.
     """
-    prob, _, _ = _soft_mask_prob(fvi_scaled, kbuf, sigmainv, multiplier, hw)
+    prob, _, _ = _soft_mask_prob(fvi_scaled, kbuf, sigmainv, multiplier,
+                                 xs, ys)
     allprob = 1. - jnp.prod(1. - prob, axis=-1)
     return jnp.where(empty, allprob, 1.)
 
@@ -193,10 +196,8 @@ def _soft_mask_edge_terms(fv, x0, y0):
     return out
 
 
-def _soft_mask_prob(fvi_scaled, kbuf, sigmainv, multiplier, hw):
+def _soft_mask_prob(fvi_scaled, kbuf, sigmainv, multiplier, xs, ys):
     """Per-(pixel, k) influence probability (forward pass core)."""
-    H, W = hw
-    xs, ys = pixel_coords(H, W, multiplier, dtype=fvi_scaled.dtype)
     x0 = xs[None, None, :, None]
     y0 = ys[None, :, None, None]
     fv, gid = _soft_mask_gather(fvi_scaled, kbuf)  # (B, H, W, K, 3, 2)
@@ -214,23 +215,21 @@ def _soft_mask_prob(fvi_scaled, kbuf, sigmainv, multiplier, hw):
     return prob, branch, gid
 
 
-def _soft_mask_epilogue_fwd(fvi_scaled, kbuf, empty, sigmainv, multiplier,
-                            hw):
-    mask = _soft_mask_epilogue(fvi_scaled, kbuf, empty, sigmainv,
-                               multiplier, hw)
-    return mask, (fvi_scaled, kbuf, empty)
+def _soft_mask_epilogue_fwd(fvi_scaled, kbuf, empty, xs, ys, sigmainv,
+                            multiplier):
+    mask = _soft_mask_epilogue(fvi_scaled, kbuf, empty, xs, ys, sigmainv,
+                               multiplier)
+    return mask, (fvi_scaled, kbuf, empty, xs, ys)
 
 
-def _soft_mask_epilogue_bwd(sigmainv, multiplier, hw, res, g):
-    fvi_scaled, kbuf, empty = res
+def _soft_mask_epilogue_bwd(sigmainv, multiplier, res, g):
+    fvi_scaled, kbuf, empty, xs, ys = res
     B, F = fvi_scaled.shape[:2]
-    H, W = hw
-    xs, ys = pixel_coords(H, W, multiplier, dtype=fvi_scaled.dtype)
     x0 = xs[None, None, :, None]
     y0 = ys[None, :, None, None]
 
     prob, branch, gid = _soft_mask_prob(fvi_scaled, kbuf, sigmainv,
-                                        multiplier, hw)
+                                        multiplier, xs, ys)
     fv, _ = _soft_mask_gather(fvi_scaled, kbuf)
 
     # dL/dprob_k = g * prod_{j != k}(1 - p_j), via exclusive cumprods
@@ -281,7 +280,8 @@ def _soft_mask_epilogue_bwd(sigmainv, multiplier, hw, res, g):
     dfvi = dfvi.at[gid.reshape(-1)].add(grad_rows).reshape(B, F, 3, 2)
     return (dfvi,
             np.zeros(kbuf.shape, jax.dtypes.float0),
-            np.zeros(empty.shape, jax.dtypes.float0))
+            np.zeros(empty.shape, jax.dtypes.float0),
+            jnp.zeros_like(xs), jnp.zeros_like(ys))
 
 
 _soft_mask_epilogue.defvjp(_soft_mask_epilogue_fwd, _soft_mask_epilogue_bwd)
@@ -325,8 +325,10 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
                                      multiplier)
     kbuf = jax.lax.stop_gradient(kbuf)  # (B, H, W, knum)
 
-    return _soft_mask_epilogue(fvi_scaled, kbuf, empty,
-                               float(sigmainv), float(multiplier), (H, W))
+    xs, ys = pixel_coords(H, W, multiplier,
+                          dtype=face_vertices_image.dtype)
+    return _soft_mask_epilogue(fvi_scaled, kbuf, empty, xs, ys,
+                               float(sigmainv), float(multiplier))
 
 
 def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,

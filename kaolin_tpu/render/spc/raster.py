@@ -50,8 +50,11 @@ from typing import NamedTuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['CoherentHits', 'unbatched_raytrace_coherent', 'hits_to_nuggets']
+__all__ = ['CoherentHits', 'CellTable', 'build_cell_table',
+           'unbatched_raytrace_coherent', 'hits_to_nuggets']
 
 _INF = jnp.inf
 
@@ -300,6 +303,556 @@ def _raster_trace(leaf_pts, origin, direction, level, rays_per_tile,
     return tns, tfs, pis, cnt, saturated
 
 
+# ===========================================================================
+# Pallas (Mosaic) engine: cell-table + fused per-block trace kernel
+#
+# The XLA engine above bins voxels into morton chunks of 64, whose bounding
+# boxes on sparse surface octrees can span half the scene (measured p100
+# extent 640 voxels on fox level 10) — candidate counts explode.  The
+# Mosaic engine instead bins by OCTREE CELLS (the voxels' level-(L-s)
+# ancestors): every cell is a tight 2^s-voxel cube, its leaves are already
+# contiguous in the morton-sorted leaf array, and the per-block candidate
+# distribution becomes extremely skewed (90% of camera blocks see zero
+# cells) — which the kernel exploits by sorting blocks by candidate count
+# into static segments.  All per-ray work (slab tests, hit packing via a
+# log-shift network, the k-buffer append, the final near-to-far bitonic
+# sort) runs in VMEM with zero gathers/scatters.
+
+class CellTable(NamedTuple):
+    """Per-octree acceleration table for the Mosaic raster engine.
+
+    Build once per (octree, level) with :func:`build_cell_table`.
+
+    Attributes:
+        rows: (Mc + 1, 4, cw) int32 — per cell: sublane 0..2 = voxel
+            x/y/z, sublane 3 = LOCAL leaf index (-1 padding).  Last row
+            is an all-invalid dump row.
+        blo, bhi: (Mc + 1, 3) f32 cell bounds in [-1, 1] space.
+        level: leaf level (python int).
+        offset: pyramid offset of the leaf level (python int).
+        overflow: () int32 device scalar — number of voxels dropped
+            because a cell exceeded ``cw`` (must be 0; check once after
+            building).
+    """
+    rows: jnp.ndarray
+    blo: jnp.ndarray
+    bhi: jnp.ndarray
+    level: int
+    offset: int
+    overflow: jnp.ndarray
+
+
+def build_cell_table(point_hierarchy, pyramid, level, cell_shift=3,
+                     cell_width=192):
+    """Group the target level's voxels by their level-(level-cell_shift)
+    ancestor cells (contiguous runs of the morton-sorted leaf array) into
+    fixed-width rows for the Mosaic raster engine.
+
+    One-time cost per octree: a few scatters of V indices.  ``cell_width``
+    must cover the most-populated cell (<= 8^cell_shift); the returned
+    ``overflow`` scalar counts dropped voxels — verify it reads 0.
+    """
+    pyramid = np.asarray(pyramid)
+    cl = level - cell_shift
+    assert cl >= 0
+    V = int(pyramid[0, level])
+    off = int(pyramid[1, level])
+    Mc = int(pyramid[0, cl])
+    rows, blo, bhi, overflow = _build_cell_table(
+        jnp.asarray(point_hierarchy), V, off, Mc,
+        int(pyramid[1, cl]), int(cell_shift), int(cell_width), int(cl))
+    return CellTable(rows, blo, bhi, int(level), off, overflow)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'V', 'off', 'Mc', 'cell_off', 'cell_shift', 'cw', 'cl'))
+def _build_cell_table(point_hierarchy, V, off, Mc, cell_off, cell_shift,
+                      cw, cl):
+    """One compiled program for the table build (eager dispatch of the
+    scatters costs minutes through a high-latency device link)."""
+    leaf = jax.lax.dynamic_slice_in_dim(
+        point_hierarchy, off, V, axis=0).astype(jnp.int32)
+    cello = jax.lax.dynamic_slice_in_dim(
+        point_hierarchy, cell_off, Mc, axis=0).astype(jnp.int32)
+
+    key = ((leaf[:, 0] >> cell_shift).astype(jnp.int32) * (1 << 24)
+           + (leaf[:, 1] >> cell_shift) * (1 << 12)
+           + (leaf[:, 2] >> cell_shift))
+    first = jnp.concatenate([jnp.ones((1,), bool), key[1:] != key[:-1]])
+    cidx = jnp.cumsum(first.astype(jnp.int32)) - 1          # (V,)
+    idx = jnp.arange(V, dtype=jnp.int32)
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx, 0))
+    wpos = idx - seg_start
+    ok = wpos < cw
+    overflow = jnp.sum((~ok).astype(jnp.int32))
+    dst = jnp.where(ok, cidx * cw + wpos, Mc * cw)
+
+    # ONE scatter of packed rows (vs 4: each scatter pass costs a full
+    # table sweep on TPU)
+    packed = jnp.stack([leaf[:, 0], leaf[:, 1], leaf[:, 2], idx],
+                       axis=-1)                              # (V, 4)
+    init = jnp.zeros(((Mc + 1) * cw, 4), jnp.int32).at[:, 3].set(-1)
+    flat = init.at[dst].set(packed, mode='drop', unique_indices=True)
+    rows = flat.reshape(Mc + 1, cw, 4).transpose(0, 2, 1)   # (Mc+1,4,cw)
+
+    csz = 2.0 / (1 << cl)
+    blo = cello.astype(jnp.float32) * csz - 1.
+    bhi = blo + csz
+    big = jnp.float32(4.)
+    blo = jnp.concatenate([blo, jnp.full((1, 3), big)])
+    bhi = jnp.concatenate([bhi, jnp.full((1, 3), -big)])
+    return rows, blo, bhi, overflow
+
+
+def _shl(x, s, fill):
+    """Shift lanes left by s (out[l] = x[l+s]), filling from the right."""
+    return jnp.concatenate(
+        [x[:, s:], jnp.full((x.shape[0], s), fill, x.dtype)], axis=1)
+
+
+def _shr(x, s, fill):
+    """Shift lanes right by s (out[l] = x[l-s]), filling from the left."""
+    return jnp.concatenate(
+        [jnp.full((x.shape[0], s), fill, x.dtype), x[:, :-s]], axis=1)
+
+
+def _bitonic_by_t(tn, tf, pi, width):
+    """Ascending bitonic sort of lanes [0, width) by tn, payload tf/pi.
+
+    width must be a power of two <= the lane count; lanes beyond width
+    are untouched.  Ties keep both elements in place (stable enough for
+    inf padding)."""
+    K = tn.shape[1]
+    tt, pp = tn[:, :width], pi[:, :width]
+    ff = None if tf is None else tf[:, :width]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tn.shape[0], width), 1)
+    nb = int(np.log2(width))
+    for k in range(1, nb + 1):
+        for jj in reversed(range(k)):
+            d = 1 << jj
+            bj = (lane >> jj) & 1
+            bit = bj != 0
+            pt = jnp.where(bit, _shr(tt, d, -_INF), _shl(tt, d, _INF))
+            pp_ = jnp.where(bit, _shr(pp, d, 0), _shl(pp, d, 0))
+            # lane keeps the min iff bit k == bit jj of its index (i.e.
+            # ascending block XOR upper partner); int32 algebra only —
+            # Mosaic rejects selects/compares on i1 vectors
+            bk = (lane >> k) & 1
+            take_min = bk == bj
+            takes = jnp.where(take_min,
+                              (pt < tt).astype(jnp.int32),
+                              (pt > tt).astype(jnp.int32)) != 0
+            tt = jnp.where(takes, pt, tt)
+            pp = jnp.where(takes, pp_, pp)
+            if ff is not None:
+                pf = jnp.where(bit, _shr(ff, d, 0.), _shl(ff, d, 0.))
+                ff = jnp.where(takes, pf, ff)
+    if width < K:
+        tt = jnp.concatenate([tt, tn[:, width:]], axis=1)
+        pp = jnp.concatenate([pp, pi[:, width:]], axis=1)
+        if ff is not None:
+            ff = jnp.concatenate([ff, tf[:, width:]], axis=1)
+    return tt, ff, pp
+
+
+def _trace_kernel(nb_ref, rays_ref, cell_ref, tn_ref, tf_ref, pi_ref,
+                  cnt_ref, *, ckb, cw, kbuf, rt, half, cpg, with_exit):
+    """One (block, cell-slot-group) grid step of the fused trace.
+
+    Grid: (segment_blocks, ckb // cpg), row-major — the output block
+    (indexed by b only) stays resident in VMEM across a block's cell
+    slots.  Each step processes ``cpg`` cells CONCATENATED ALONG LANES
+    into (rt, cpg * cw) arrays: per-op vector-register coverage is what
+    sets throughput here (a (16, 192) op touches ~1.5 vregs and is
+    issue-bound), and one wide pack network replaces cpg narrow ones.
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    bpg = cell_ref.shape[2]
+    rows = bpg * rt
+    W = cpg * cw
+
+    @pl.when(j == 0)
+    def _():
+        tn_ref[0] = jnp.full((rows, kbuf), _INF, jnp.float32)
+        pi_ref[0] = jnp.full((rows, kbuf), -1, jnp.int32)
+        cnt_ref[0] = jnp.zeros((rows, 1), jnp.int32)
+        if with_exit:
+            tf_ref[0] = jnp.full((rows, kbuf), _INF, jnp.float32)
+
+    # per-row candidate count: block u of this step owns rows
+    # [u*rt, (u+1)*rt)
+    nb_list = [nb_ref[b * bpg + u] for u in range(bpg)]
+    nb_max = nb_list[0]
+    for x in nb_list[1:]:
+        nb_max = jnp.maximum(nb_max, x)
+    base = j * cpg
+
+    @pl.when(base < nb_max)
+    def _():
+        rays = rays_ref[0]                        # (rows, 8) f32
+        nb_col = jnp.concatenate(
+            [x.reshape(1, 1) for x in nb_list], axis=0)       # (bpg, 1)
+        # pltpu.repeat TILES along the axis ([x; x; ...]), so row r of
+        # this step belongs to block (r % bpg), ray (r // bpg); the
+        # caller interleaves rays/outputs to match.
+        nb_rows = (nb_col if bpg == rows
+                   else pltpu.repeat(nb_col, rt, 0))          # (rows, 1)
+
+        def wide(r):
+            x = cell_ref[0, r]                    # (bpg, W)
+            return x if bpg == rows else pltpu.repeat(x, rt, 0)
+
+        xw = wide(0).astype(jnp.float32) * (2. * half) - 1.   # (rows, W)
+        yw = wide(1).astype(jnp.float32) * (2. * half) - 1.
+        zw = wide(2).astype(jnp.float32) * (2. * half) - 1.
+        pid = wide(3)                             # (rows, W)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+        in_nb = (base + lane // cw) < nb_rows     # mask cells past nb
+        ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+        ix, iy, iz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+        side = 2. * half
+
+        def axis_t(lo, o, inv):
+            t0 = (lo - o) * inv                   # (rows, W)
+            t1 = t0 + side * inv
+            return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        ax0, ax1 = axis_t(xw, ox, ix)
+        ay0, ay1 = axis_t(yw, oy, iy)
+        az0, az1 = axis_t(zw, oz, iz)
+        tn = jnp.maximum(jnp.maximum(ax0, ay0), az0)
+        tf = jnp.minimum(jnp.minimum(ax1, ay1), az1)
+        hit = (tf > tn) & (tf > 0.) & (tn > 0.) & (pid >= 0) & in_nb
+
+        # exclusive rank via Hillis-Steele prefix sum over lanes
+        hs = hit.astype(jnp.int32)
+        incl = hs
+        s = 1
+        while s < W:
+            incl = incl + _shr(incl, s, 0)
+            s *= 2
+        rank = incl - hs
+        m = incl[:, W - 1:W]                      # (rt, 1) hits this step
+
+        # left-pack hits with the log-shift network (displacement
+        # lane - rank is non-decreasing -> collision-free LSB->MSB).
+        # All masks are int32: Mosaic cannot lane-shift i1 vectors.
+        d = jnp.where(hit, lane - rank, 0)
+        valid = hs                                # int32 0/1
+        ptn = jnp.where(hit, tn, _INF)
+        ptf = jnp.where(hit, tf, _INF) if with_exit else None
+        ppi = jnp.where(hit, pid, -1)
+        s = 1
+        while s < W:
+            moves = valid * ((d & s) != 0).astype(jnp.int32)
+            arr_i = _shl(moves, s, 0)
+            arrives = arr_i != 0
+            keep_i = valid * (1 - moves)
+            keep = keep_i != 0
+            d = jnp.where(arrives, _shl(d, s, 0) - s,
+                          jnp.where(keep, d, 0))
+            ptn = jnp.where(arrives, _shl(ptn, s, _INF),
+                            jnp.where(keep, ptn, _INF))
+            if with_exit:
+                ptf = jnp.where(arrives, _shl(ptf, s, _INF),
+                                jnp.where(keep, ptf, _INF))
+            ppi = jnp.where(arrives, _shl(ppi, s, -1),
+                            jnp.where(keep, ppi, -1))
+            valid = arr_i | keep_i
+            s *= 2
+
+        # append at [cnt, cnt+m): shift the packed rows right by cnt
+        if W < kbuf:
+            pad = ((0, 0), (0, kbuf - W))
+            ptn = jnp.pad(ptn, pad, constant_values=_INF)
+            ppi = jnp.pad(ppi, pad, constant_values=-1)
+            if with_exit:
+                ptf = jnp.pad(ptf, pad, constant_values=_INF)
+        elif W > kbuf:
+            # one step can hold more hits than the k-buffer; overflow is
+            # dropped here but still counted (-> saturation)
+            ptn = ptn[:, :kbuf]
+            ppi = ppi[:, :kbuf]
+            if with_exit:
+                ptf = ptf[:, :kbuf]
+        cnt = cnt_ref[0]                          # (rt, 1)
+        s = 1
+        while s < kbuf:
+            cond = (cnt & s) != 0
+            ptn = jnp.where(cond, _shr(ptn, s, _INF), ptn)
+            ppi = jnp.where(cond, _shr(ppi, s, -1), ppi)
+            if with_exit:
+                ptf = jnp.where(cond, _shr(ptf, s, _INF), ptf)
+            s *= 2
+        klane = jax.lax.broadcasted_iota(jnp.int32, (rows, kbuf), 1)
+        sel = (klane >= cnt) & (klane < cnt + m)
+        tn_ref[0] = jnp.where(sel, ptn, tn_ref[0])
+        pi_ref[0] = jnp.where(sel, ppi, pi_ref[0])
+        if with_exit:
+            tf_ref[0] = jnp.where(sel, ptf, tf_ref[0])
+        cnt_ref[0] = cnt + m
+
+    @pl.when(j == (ckb // cpg) - 1)
+    def _():
+        cmax = jnp.max(cnt_ref[0])
+        tfv = tf_ref[0] if with_exit else None
+
+        def empty(_):
+            return tn_ref[0], tfv, pi_ref[0]
+
+        def small(_):
+            return _bitonic_by_t(tn_ref[0], tfv, pi_ref[0],
+                                 min(64, kbuf))
+
+        def full(_):
+            return _bitonic_by_t(tn_ref[0], tfv, pi_ref[0], kbuf)
+
+        if with_exit:
+            tn, tf, pi = jax.lax.cond(
+                cmax == 0, empty,
+                lambda _: jax.lax.cond(cmax <= 64, small, full, None),
+                None)
+            tf_ref[0] = tf
+        else:
+            def empty2(_):
+                return tn_ref[0], pi_ref[0]
+
+            def small2(_):
+                a, _, c = small(None)
+                return a, c
+
+            def full2(_):
+                a, _, c = full(None)
+                return a, c
+
+            tn, pi = jax.lax.cond(
+                cmax == 0, empty2,
+                lambda _: jax.lax.cond(cmax <= 64, small2, full2, None),
+                None)
+        tn_ref[0] = tn
+        pi_ref[0] = pi
+
+
+def _segment_trace(nb_seg, rays_seg, cells_seg, ckb, cw, kbuf, rt, half,
+                   cpg, bpg, with_exit, interpret):
+    """Run the fused kernel over one sorted segment of blocks.
+
+    nb_seg (NBS,) int32; rays_seg (NBS, rt, 8) f32;
+    cells_seg (NBS * ckb, 4, cw) int32 (pre-gathered, dump-padded);
+    ckb must be a multiple of cpg (cells per grid step) and NBS of bpg
+    (blocks stacked on sublanes per grid step).
+    """
+    NBS = nb_seg.shape[0]
+    assert ckb % cpg == 0 and NBS % bpg == 0
+    nG = NBS // bpg
+    rows = bpg * rt
+    # cells laid out so step (b, j) reads blocks [b*bpg, b*bpg+bpg) x
+    # cells [j*cpg, (j+1)*cpg) as (coordinate, bpg, cpg*cw) — all the
+    # layout work happens here in XLA; the kernel only repeats sublanes
+    cells = cells_seg.reshape(nG, bpg, ckb // cpg, cpg, 4, cw)
+    cells = cells.transpose(0, 2, 4, 1, 3, 5).reshape(
+        nG * (ckb // cpg), 4, bpg, cpg * cw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nG, ckb // cpg),
+        in_specs=[
+            pl.BlockSpec((1, rows, 8), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, bpg, cpg * cw),
+                         lambda b, j, *_: (b * (ckb // cpg) + j,
+                                           0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, kbuf), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, kbuf), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, kbuf), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1), lambda b, j, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    tn, tf, pi, cnt = pl.pallas_call(
+        functools.partial(_trace_kernel, ckb=ckb, cw=cw, kbuf=kbuf,
+                          rt=rt, half=half, cpg=cpg, with_exit=with_exit),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nG, rows, kbuf), jnp.float32),
+            jax.ShapeDtypeStruct((nG, rows, kbuf), jnp.float32),
+            jax.ShapeDtypeStruct((nG, rows, kbuf), jnp.int32),
+            jax.ShapeDtypeStruct((nG, rows, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=NBS * ckb * rt * cw * 120,
+            bytes_accessed=NBS * ckb * 4 * cw * 4
+            + NBS * rt * (kbuf * 12 + 40),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nb_seg,
+      rays_seg.reshape(nG, bpg, rt, 8).transpose(0, 2, 1, 3)
+      .reshape(nG, rows, 8),
+      cells)
+
+    def deinter(x):
+        w = x.shape[-1]
+        return (x.reshape(nG, rt, bpg, w).transpose(0, 2, 1, 3)
+                .reshape(NBS, rt, w))
+    return (deinter(tn), deinter(tf), deinter(pi), deinter(cnt))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'level', 'rt', 'cw', 'kbuf', 'cs', 'segments', 'ne_cap', 'with_exit',
+    'interpret'))
+def _raster_trace_mosaic(rows, blo, bhi, origin, direction, level, rt,
+                         cw, kbuf, cs, segments, ne_cap, with_exit,
+                         interpret):
+    """Full Mosaic-engine trace.  origin/direction padded to a whole
+    number of super-tiles (rt * 64 rays).
+
+    segments: tuple of (block_cap, ckb) pairs, largest ckb first; blocks
+    are sorted by candidate-cell count descending and assigned to
+    segments in order.  Saturation fires if a block's cells exceed its
+    segment's ckb or the first segment's cap overflows with nonempty
+    blocks left over.
+    """
+    N = origin.shape[0]
+    nB = N // rt
+    BS = 64
+    nS = nB // BS
+    Mc = rows.shape[0] - 1
+    half = 1.0 / (1 << level)
+
+    o = origin.astype(jnp.float32).reshape(nB, rt, 3)
+    d = direction.astype(jnp.float32).reshape(nB, rt, 3)
+    olo_b = jnp.min(o, axis=1)
+    ohi_b = jnp.max(o, axis=1)
+    dlo_b = jnp.min(d, axis=1)
+    dhi_b = jnp.max(d, axis=1)
+    olo_s = jnp.min(olo_b.reshape(nS, BS, 3), axis=1)
+    ohi_s = jnp.max(ohi_b.reshape(nS, BS, 3), axis=1)
+    dlo_s = jnp.min(dlo_b.reshape(nS, BS, 3), axis=1)
+    dhi_s = jnp.max(dhi_b.reshape(nS, BS, 3), axis=1)
+
+    # super-tile candidates over all cells (log-shift pack, carrying
+    # global cell ids as payload — top_k at these widths is far slower)
+    cand_s = _beam_chunk_test(
+        olo_s[:, None], ohi_s[:, None], dlo_s[:, None], dhi_s[:, None],
+        blo[None, :Mc], bhi[None, :Mc])                     # (nS, Mc)
+    sat = jnp.any(jnp.sum(cand_s.astype(jnp.int32), axis=1) > cs)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (nS, Mc), 1)
+    sv, (sp,) = _compact_rows(cand_s, (jnp.where(cand_s, cid, Mc),))
+    sup_ids = jnp.where(sv[:, :cs], sp[:, :cs], Mc)         # (nS, cs)
+
+    # block-level refinement
+    sup_blo = blo[sup_ids]                                  # (nS, cs, 3)
+    sup_bhi = bhi[sup_ids]
+    cand_b = _beam_chunk_test(
+        olo_b.reshape(nS, BS, 1, 3), ohi_b.reshape(nS, BS, 1, 3),
+        dlo_b.reshape(nS, BS, 1, 3), dhi_b.reshape(nS, BS, 1, 3),
+        sup_blo[:, None], sup_bhi[:, None])                 # (nS, BS, cs)
+    cand_b = cand_b.reshape(nB, cs)
+    n_b = jnp.sum(cand_b.astype(jnp.int32), axis=-1)
+    ck_max = segments[0][1]
+    sat = sat | jnp.any(n_b > ck_max)
+    gids = jnp.broadcast_to(sup_ids[:, None], (nS, BS, cs)
+                            ).reshape(nB, cs)
+    bv, (bp,) = _compact_rows(cand_b, (jnp.where(cand_b, gids, Mc),))
+    pad_ck = max(0, ck_max - cs)
+    blk_ids = jnp.where(bv, bp, Mc)
+    if pad_ck:
+        blk_ids = jnp.pad(blk_ids, ((0, 0), (0, pad_ck)),
+                          constant_values=Mc)
+    blk_ids = blk_ids[:, :ck_max]                           # (nB, ckmax)
+
+    # drop empty blocks (typically the large majority for camera grids
+    # over a bounded scene), then sort the remainder by candidate count
+    # descending and segment the sorted list
+    ne = n_b > 0
+    sat = sat | (jnp.sum(ne.astype(jnp.int32)) > ne_cap)
+    nev, (ne_ids_p,) = _compact_rows(
+        ne[None], (jnp.arange(nB, dtype=jnp.int32)[None],))
+    ne_ids = jnp.where(nev[0, :ne_cap], ne_ids_p[0, :ne_cap], nB)
+    n_b_f = jnp.concatenate([n_b, jnp.zeros((1,), n_b.dtype)])
+    n_ne = n_b_f[ne_ids]                                    # (ne_cap,)
+    order_l = jnp.argsort(-n_ne, stable=True).astype(jnp.int32)
+    # keep the nB sentinel for padding entries: their output rows are
+    # dropped by the scatter-back (a clamp would clobber block nB-1)
+    order = ne_ids[order_l]                                 # global ids
+    n_sorted = n_ne[order_l]
+    blk_ids_f = jnp.concatenate(
+        [blk_ids, jnp.full((1, blk_ids.shape[1]), Mc, jnp.int32)])
+    ids_sorted = blk_ids_f[ne_ids][order_l]
+    rays8 = jnp.concatenate(
+        [o, 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                            jnp.where(d < 0, -1e-12, 1e-12), d),
+         jnp.zeros((nB, rt, 2), jnp.float32)], axis=-1)     # (nB, rt, 8)
+    rays_sorted = rays8[jnp.minimum(order, nB - 1)]
+    nB_seg = ne_cap
+
+    outs_tn, outs_tf, outs_pi, outs_cnt, block_ids_out = [], [], [], [], []
+    start = 0
+    for cap, ckb in segments:
+        stop = min(start + cap, nB_seg) if cap else nB_seg
+        if stop <= start:
+            continue
+        nbs_seg = jnp.minimum(n_sorted[start:stop], ckb)
+        # segment overflow: a block beyond this segment still has more
+        # candidates than the NEXT segment allows -> flagged below
+        cpg = max(1, min(8, ckb))
+        while ckb % cpg:
+            cpg -= 1
+        # stack blocks on sublanes until ~6 f32 vregs of lane width
+        bpg = max(1, min(16, 98304 // (rt * max(cpg * cw, kbuf))))
+        NBS = stop - start
+        bpad = (-NBS) % bpg
+        nbs_seg = jnp.pad(nbs_seg, (0, bpad))
+        ids_seg = ids_sorted[start:stop, :ckb]              # (NBS, ckb)
+        ids_seg = jnp.pad(ids_seg, ((0, bpad), (0, 0)),
+                          constant_values=Mc)
+        rays_seg = jnp.pad(rays_sorted[start:stop],
+                           ((0, bpad), (0, 0), (0, 0)))
+        gath = rows[ids_seg.reshape(-1)]                    # (NBS*ckb,4,cw)
+        tn, tf, pi, cnt = _segment_trace(
+            nbs_seg, rays_seg, gath, ckb, cw, kbuf, rt,
+            half, cpg, bpg, with_exit, interpret)
+        tn, tf, pi, cnt = (tn[:NBS], tf[:NBS], pi[:NBS], cnt[:NBS])
+        sat = sat | jnp.any(n_sorted[start:stop] > ckb)
+        outs_tn.append(tn)
+        outs_tf.append(tf)
+        outs_pi.append(pi)
+        outs_cnt.append(cnt[..., 0])
+        block_ids_out.append(order[start:stop])
+        start = stop
+        if start >= nB_seg:
+            break
+
+    tn = jnp.concatenate(outs_tn)
+    tf = jnp.concatenate(outs_tf)
+    pi = jnp.concatenate(outs_pi)
+    cnt = jnp.concatenate(outs_cnt)
+    bids = jnp.concatenate(block_ids_out)
+    # scatter processed block rows back to original order; untouched
+    # (empty) blocks keep the defaults
+    tns = jnp.full((nB, rt, kbuf), _INF, jnp.float32).at[bids].set(
+        tn, mode='drop')
+    tfs = jnp.full((nB, rt, kbuf), _INF, jnp.float32).at[bids].set(
+        tf, mode='drop')
+    pis = jnp.full((nB, rt, kbuf), -1, jnp.int32).at[bids].set(
+        pi, mode='drop')
+    cnts = jnp.zeros((nB, rt), jnp.int32).at[bids].set(
+        cnt, mode='drop')
+    tns = tns.reshape(N, kbuf)
+    tfs = tfs.reshape(N, kbuf)
+    pis = pis.reshape(N, kbuf)
+    cnts = cnts.reshape(N)
+    sat = sat | jnp.any(cnts > kbuf)
+    return tns, tfs, pis, cnts, sat
+
+
 def _block_order(height, width, bh, bw):
     """Row-major order of pixels grouped into (bh, bw) blocks; returns
     (perm, inv_perm) host numpy index arrays of length height*width."""
@@ -319,7 +872,10 @@ def unbatched_raytrace_coherent(octree, point_hierarchy, pyramid, exsum,
                                 origin, direction, level,
                                 rays_per_tile=16, max_tile_voxels=1024,
                                 max_super_voxels=None, knum=64,
-                                block_group=None, grid_shape=None):
+                                block_group=None, grid_shape=None,
+                                engine='auto', cell_table=None,
+                                segments=None, max_active_blocks=None,
+                                with_exit=True, interpret=None):
     """Trace a coherent ray set against an SPC octree (raster engine).
 
     Same inputs as :func:`~kaolin_tpu.render.spc.raytrace.
@@ -345,6 +901,20 @@ def unbatched_raytrace_coherent(octree, point_hierarchy, pyramid, exsum,
             (tighter beams).  NOTE: applies an input and an output
             permutation (two (num_rays,)-sized gathers).
 
+        engine: 'xla' (morton-chunk binning, pure XLA — works anywhere),
+            'mosaic' (octree-cell binning + fused Pallas kernel — the
+            TPU production path), or 'auto' (mosaic on TPU, xla
+            elsewhere).
+        cell_table: optional prebuilt :func:`build_cell_table` output
+            (mosaic engine) — build it once per octree when tracing in
+            a loop.
+        segments: mosaic engine block segmentation — tuple of
+            (block_cap, cells_per_block) pairs, largest second; blocks
+            sorted by candidate-cell count fill segments in order (the
+            last cap may be None = rest).  Default
+            ``((2048, 96), (8192, 16), (None, 4))``.
+        interpret: run the Pallas kernel interpreted (CPU testing).
+
     Notes:
         ``pyramid`` must be host-resident (numpy): the target level's
         point count is a static shape.  Do not trace through it.
@@ -352,18 +922,11 @@ def unbatched_raytrace_coherent(octree, point_hierarchy, pyramid, exsum,
     pyramid = np.asarray(pyramid)     # raises if traced — intentional
     V = int(pyramid[0, level])
     off = int(pyramid[1, level])
-    leaf = point_hierarchy[off:off + V].astype(jnp.int32)
-    vpad = (-V) % 64
-    if vpad:
-        leaf = jnp.pad(leaf, ((0, vpad), (0, 0)), constant_values=-1)
-    M = leaf.shape[0] // 64
 
     N = origin.shape[0]
     RT = int(rays_per_tile)
-    CK = min(max(1, -(-int(max_tile_voxels) // 64)), M)
-    if max_super_voxels is None:
-        max_super_voxels = 8 * CK * 64
-    CS = min(max(CK, -(-int(max_super_voxels) // 64)), M)
+    if engine == 'auto':
+        engine = ('mosaic' if jax.default_backend() == 'tpu' else 'xla')
     perm = inv = None
     if grid_shape is not None:
         h, w = grid_shape
@@ -384,6 +947,51 @@ def unbatched_raytrace_coherent(octree, point_hierarchy, pyramid, exsum,
         direction = jnp.concatenate(
             [jnp.asarray(direction, jnp.float32),
              jnp.ones((rpad, 3), jnp.float32)])
+
+    if engine == 'mosaic':
+        if cell_table is None:
+            cell_table = build_cell_table(point_hierarchy, pyramid, level)
+        Mc = cell_table.rows.shape[0] - 1
+        kbuf = max(64, 1 << int(np.ceil(np.log2(max(2, knum)))))
+        if segments is None:
+            segments = ((1024, 128), (3072, 32), (8192, 8), (None, 4))
+        segs = []
+        for cap, ckb in segments:
+            segs.append((cap, min(int(ckb), Mc)))
+        if segs[-1][0] is not None:
+            segs.append((None, segs[-1][1]))
+        cw_ = int(cell_table.rows.shape[2])
+        cs = min(Mc, max(segs[0][1],
+                         int(max_super_voxels or 131072) // cw_))
+        if interpret is None:
+            interpret = jax.default_backend() != 'tpu'
+        nB_all = (N + rpad) // RT
+        if max_active_blocks is None:
+            max_active_blocks = max(1024, nB_all // 2)
+        ne_cap = min(nB_all, int(max_active_blocks))
+        tns, tfs, pis, cnt, sat = _raster_trace_mosaic(
+            cell_table.rows, cell_table.blo, cell_table.bhi,
+            jnp.asarray(origin), jnp.asarray(direction), int(level), RT,
+            int(cell_table.rows.shape[2]), kbuf, int(cs), tuple(segs),
+            int(ne_cap), bool(with_exit), bool(interpret))
+        tns, tfs, pis, cnt = (tns[:N, :knum], tfs[:N, :knum],
+                              pis[:N, :knum], cnt[:N])
+        sat = sat | jnp.any(cnt > knum)
+        if inv is not None:
+            iv = jnp.asarray(inv)
+            tns, tfs, pis, cnt = tns[iv], tfs[iv], pis[iv], cnt[iv]
+        pis = jnp.where(pis >= 0, pis + off, -1)
+        return CoherentHits(tns, tfs, pis, cnt, sat)
+
+    leaf = point_hierarchy[off:off + V].astype(jnp.int32)
+    vpad = (-V) % 64
+    if vpad:
+        leaf = jnp.pad(leaf, ((0, vpad), (0, 0)), constant_values=-1)
+    M = leaf.shape[0] // 64
+    CK = min(max(1, -(-int(max_tile_voxels) // 64)), M)
+    if max_super_voxels is None:
+        max_super_voxels = 8 * CK * 64
+    CS = min(max(CK, -(-int(max_super_voxels) // 64)), M)
     if block_group is None:
         # ~48MB of (TG, RT, Cc) f32 x 3 live per map step
         block_group = max(1, (4 << 20) // (RT * CK * 64))

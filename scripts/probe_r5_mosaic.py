@@ -38,16 +38,16 @@ CK = 16                  # ids per program
 
 table = jnp.arange(M * R * C, dtype=jnp.float32).reshape(M, R, C)
 rng = np.random.default_rng(0)
-ids = jnp.asarray(rng.integers(0, M, size=(NB, CK)), jnp.int32)
-nbs = jnp.asarray(rng.integers(1, CK + 1, size=(NB, 1)), jnp.int32)
+ids = jnp.asarray(rng.integers(0, M, size=(NB, 1, CK)), jnp.int32)
+nbs = jnp.asarray(rng.integers(1, CK + 1, size=(NB,)), jnp.int32)
 
 
 def kernel(nb_ref, ids_ref, table_hbm, out_ref, scratch, sem):
-    nb = nb_ref[0, 0]
+    nb = nb_ref[pl.program_id(0)]
 
     def body(j, acc):
         slot = j % 2
-        idx = ids_ref[0, j]
+        idx = ids_ref[0, 0, j]
         dma = pltpu.make_async_copy(table_hbm.at[idx], scratch.at[slot],
                                     sem.at[slot])
         dma.start()
@@ -59,25 +59,28 @@ def kernel(nb_ref, ids_ref, table_hbm, out_ref, scratch, sem):
 
     acc = jax.lax.fori_loop(0, nb, body,
                             jnp.zeros((1, C), jnp.float32))
-    out_ref[0, :] = acc[0]
+    out_ref[0, 0, :] = acc[0]
 
 
 @jax.jit
 def run(nbs, ids, table):
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, CK), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CK), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, C), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((1, 1, C), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NB, C), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, R, C), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NB, 1, C), jnp.float32),
     )(nbs, ids, table)
 
 
@@ -94,7 +97,7 @@ try:
     for b in range(NB):
         for j in range(nbn[b]):
             expect[b] += tb[idn[b, j]].sum(0)
-    got = np.asarray(out)
+    got = np.asarray(out)[:, 0]
     err = np.abs(got - expect).max() / max(1., np.abs(expect).max())
     log(f'correctness rel err: {err:.2e}')
 
@@ -106,7 +109,7 @@ try:
     def multi(t):
         def step(i, acc):
             o = run(nbs, ids, t + acc * 0.0)
-            return acc + o[0, :1]
+            return acc + o[0, 0, :1]
         return jax.lax.fori_loop(0, K, step, jnp.zeros((1,), jnp.float32))
 
     o = multi(table)

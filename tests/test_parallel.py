@@ -128,6 +128,45 @@ def test_graft_entry_dryrun():
     g.dryrun_multichip(4)
 
 
+def test_tile_sharded_render_loss_grads_match_single(eight_devices):
+    """The FULL differentiable render (z-buffer + texture/SH epilogue +
+    soft mask) sharded over a (data, tile) mesh: loss AND parameter
+    gradients must match the single-device render_loss (VERDICT r4 #4 —
+    nothing computed a gradient across the tile axis before)."""
+    from kaolin_tpu.parallel.tile import tile_sharded_render_loss
+    from kaolin_tpu.models import inverse_render as M
+    from kaolin_tpu.io import obj
+
+    mesh2d = make_mesh((2, 4), ('data', 'tile'))
+    m = obj.import_mesh('/root/reference/sample_data/meshes/ico_smooth.obj',
+                        triangulate=True)
+    faces = jnp.asarray(np.asarray(m.faces))
+    face_uvs = jnp.asarray(np.asarray(m.uvs)[np.asarray(m.face_uvs_idx)])
+    params = M.init_params(m, texture_res=16)
+    views = M.make_views(2)
+    H = W = 32
+    rng = np.random.default_rng(0)
+    t_img = jnp.asarray(rng.uniform(size=(2, H, W, 3)).astype(np.float32))
+    t_mask = jnp.asarray(
+        (rng.uniform(size=(2, H, W)) > 0.5).astype(np.float32))
+
+    def loss_sharded(p):
+        return tile_sharded_render_loss(
+            mesh2d, p, views, faces, face_uvs, t_img, t_mask, H, W)
+
+    def loss_single(p):
+        return M.render_loss(p, views, faces, face_uvs, t_img, t_mask,
+                             H, W, backend='jnp')
+
+    v_s, g_s = jax.value_and_grad(loss_sharded)(params)
+    v_1, g_1 = jax.value_and_grad(loss_single)(params)
+    np.testing.assert_allclose(float(v_s), float(v_1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_tile_sharded_selection_matches_single(eight_devices):
     """Image rows sharded over a (data, tile) mesh reproduce the
     unsharded z-buffer selection exactly (SURVEY §2.3 tile axis)."""

@@ -76,6 +76,35 @@ class TestRasterParity:
                            rays_per_tile=32, max_tile_voxels=512)
         assert ta.shape[0] > 0
 
+    @pytest.mark.parametrize('level', [4, 6])
+    def test_mosaic_engine_parity(self, level):
+        """Interpret-mode run of the fused Pallas engine vs the BFS."""
+        rng = np.random.default_rng(level + 10)
+        pts = rng.integers(0, 2 ** level, size=(300, 3))
+        octree, pyramid, exsum, ph = build(pts, level)
+        o, d = camera_grid(16)
+        # random octrees are spatially dense relative to the beam size,
+        # so candidate caps must cover most cells
+        ta = assert_parity(octree, pyramid, exsum, ph, o, d, level,
+                           rays_per_tile=16, engine='mosaic',
+                           segments=((8, 256), (None, 64)), knum=64)
+        assert ta.shape[0] > 0
+
+    def test_mosaic_cell_table_prebuilt(self):
+        level = 5
+        rng = np.random.default_rng(3)
+        pts = rng.integers(0, 2 ** level, size=(500, 3))
+        octree, pyramid, exsum, ph = build(pts, level)
+        from kaolin_tpu.render.spc.raster import build_cell_table
+        table = build_cell_table(ph, pyramid, level, cell_shift=2,
+                                 cell_width=64)
+        assert int(table.overflow) == 0
+        o, d = camera_grid(16)
+        assert_parity(octree, pyramid, exsum, ph, o, d, level,
+                      rays_per_tile=16, engine='mosaic',
+                      cell_table=table, segments=((16, 256), (None, 64)),
+                      knum=64)
+
     def test_axis_aligned_rays_and_inside_origins(self):
         level = 3
         pts = np.stack(np.meshgrid(*[np.arange(8)] * 3,
@@ -123,6 +152,18 @@ class TestRasterParity:
             octree, ph, pyramid, exsum, o, d, level,
             rays_per_tile=64, max_tile_voxels=64)
         assert bool(hits.saturated)
+
+    def test_miss_all_mosaic(self):
+        level = 4
+        rng = np.random.default_rng(5)
+        pts = rng.integers(0, 2 ** level, size=(100, 3))
+        octree, pyramid, exsum, ph = build(pts, level)
+        o = np.full((64, 3), 3., np.float32)
+        d = np.ones((64, 3), np.float32)
+        hits = unbatched_raytrace_coherent(
+            octree, ph, pyramid, exsum, o, d, level, rays_per_tile=16,
+            engine='mosaic', segments=((4, 8), (None, 2)))
+        assert int(np.asarray(hits.count).sum()) == 0
 
     def test_miss_all(self):
         level = 3
