@@ -342,7 +342,9 @@ def _phase_dibr_breakdown(mesh, height, width):
 
 
 def _phase_dibr_hires_faces(mesh, height, width):
-    """Second triangles/s point: 4x-subdivided fox (~168k faces)."""
+    """Second triangles/s point: subdivided fox (~42k faces; one Loop
+    iteration — the fused engine's SMEM chunk-bbox table caps out near
+    ~160k faces / 2500 chunks on v5e's 1MB SMEM)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -351,7 +353,7 @@ def _phase_dibr_hires_faces(mesh, height, width):
 
     v = jnp.asarray(np.asarray(mesh.vertices))[None]
     f = jnp.asarray(np.asarray(mesh.faces))
-    v2, f2 = subdivide_trianglemesh(v, f, 2)
+    v2, f2 = subdivide_trianglemesh(v, f, 1)
     n_faces = int(f2.shape[0])
 
     class _M:

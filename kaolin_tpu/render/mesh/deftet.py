@@ -121,75 +121,110 @@ def _deftet_render_binned(pixel_coords, render_ranges, face_vertices_z,
     vt_m_f = jnp.concatenate([vt_m, jnp.zeros((1, 64, 5))])
     fid_f = jnp.concatenate([fid_c, jnp.full((1, 64), BIG)])
 
-    def chunk_step(args):
-        ids, pcc, rrc = args            # (CKf,), (pc, 2), (pc, 2)
-        g = vt_g_f[ids].reshape(C, 9 + 3 * D)                 # diff
-        m = vt_m_f[ids].reshape(C, 5)
-        fid = fid_f[ids].reshape(C)
+    def select_slots(g_sg, m, fid, pcc, rrc):
+        """Non-differentiable: per pixel, the first-knum covering faces
+        IN MESH ORDER, as LOCAL candidate indices (pc, knum), -1 pad.
+        No gradients flow -> the loop stores no reverse-mode residuals
+        (a differentiable k-loop would checkpoint a (pc, C) carry per
+        pass — 11GB at bench scale)."""
         x0 = pcc[:, 0:1]                                      # (pc, 1)
         y0 = pcc[:, 1:2]
         in_bbox = ((x0 >= m[None, :, 0]) & (x0 < m[None, :, 2])
                    & (y0 >= m[None, :, 1]) & (y0 < m[None, :, 3])
                    & (m[None, :, 4] > 0.))
-        a_ex, a_ey = g[None, :, 0] - x0, g[None, :, 1] - y0   # (pc, C)
-        b_ex, b_ey = g[None, :, 2] - x0, g[None, :, 3] - y0
-        c_ex, c_ey = g[None, :, 4] - x0, g[None, :, 5] - y0
+        a_ex, a_ey = g_sg[None, :, 0] - x0, g_sg[None, :, 1] - y0
+        b_ex, b_ey = g_sg[None, :, 2] - x0, g_sg[None, :, 3] - y0
+        c_ex, c_ey = g_sg[None, :, 4] - x0, g_sg[None, :, 5] - y0
         w0 = b_ex * c_ey - b_ey * c_ex
         w1 = c_ex * a_ey - c_ey * a_ex
         w2 = a_ex * b_ey - a_ey * b_ex
         norm = w0 + w1 + w2
-        # sign(0) -> +1 here (degenerate/padded faces are never covered,
-        # but 0/0 would still poison gradients through the masked sums)
         norm = norm + jnp.where(norm >= 0., eps, -eps)
         w0, w1, w2 = w0 / norm, w1 / norm, w2 / norm
-        inside = (jax.lax.stop_gradient(w0) >= 0.) \
-            & (jax.lax.stop_gradient(w1) >= 0.) \
-            & (jax.lax.stop_gradient(w2) >= 0.)
-        depth = (w0 * g[None, :, 6] + w1 * g[None, :, 7]
-                 + w2 * g[None, :, 8])
-        dsg = jax.lax.stop_gradient(depth)
-        covered = (in_bbox & inside & (dsg > rrc[:, 0:1])
-                   & (dsg < rrc[:, 1:2]))                     # (pc, C)
-        feat = (w0[..., None] * g[None, :, 9:9 + D]
-                + w1[..., None] * g[None, :, 9 + D:9 + 2 * D]
-                + w2[..., None] * g[None, :, 9 + 2 * D:])     # (pc, C, D)
-
+        inside = (w0 >= 0.) & (w1 >= 0.) & (w2 >= 0.)
+        depth = (w0 * g_sg[None, :, 6] + w1 * g_sg[None, :, 7]
+                 + w2 * g_sg[None, :, 8])
+        covered = (in_bbox & inside & (depth > rrc[:, 0:1])
+                   & (depth < rrc[:, 1:2]))                   # (pc, C)
         keys = jnp.where(covered, fid[None, :], BIG)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
+        pc = pcc.shape[0]
 
         def extract(k, state):
-            keys, out_f, out_d, out_i = state
+            keys, out_s = state
             am = jnp.argmin(keys, axis=-1)
-            mv = jnp.min(keys, axis=-1)
-            live = mv < BIG
-            one = iota_c == am[:, None]
-            sel = one & live[:, None]
-            d_k = jnp.sum(jnp.where(sel, depth, 0.), axis=-1)
-            f_k = jnp.sum(jnp.where(sel[..., None], feat, 0.), axis=-2)
-            out_f = out_f.at[:, k].set(f_k)
-            out_d = out_d.at[:, k].set(jnp.where(live, d_k, -jnp.inf))
-            out_i = out_i.at[:, k].set(jnp.where(live, mv, -1))
-            keys = jnp.where(sel, BIG, keys)
-            return keys, out_f, out_d, out_i
+            live = jnp.min(keys, axis=-1) < BIG
+            out_s = out_s.at[:, k].set(
+                jnp.where(live, am.astype(jnp.int32), -1))
+            keys = jnp.where((iota_c == am[:, None]) & live[:, None],
+                             BIG, keys)
+            return keys, out_s
 
+        _, slots = jax.lax.fori_loop(
+            0, knum, extract,
+            (keys, jnp.full((pc, knum), -1, jnp.int32)))
+        return slots
+
+    def epilogue(g, fid, pcc, slots):
+        """Differentiable: gather the selected candidates' rows with a
+        one-hot MATMUL (MXU; its backward is a matmul — no (pc, knum, C)
+        residual thanks to the remat wrapper), recompute barycentrics,
+        depth-sort with payload."""
         pc = pcc.shape[0]
-        state = (keys,
-                 jnp.zeros((pc, knum, D)),
-                 jnp.full((pc, knum), -jnp.inf),
-                 jnp.full((pc, knum), -1, jnp.int32))
-        _, out_f, out_d, out_i = jax.lax.fori_loop(
-            0, knum, extract, state)
+        live = slots >= 0
+        oh = (slots[..., None]
+              == jax.lax.broadcasted_iota(
+                  jnp.int32, (pc, knum, C), 2)) & live[..., None]
+        table = jnp.concatenate(
+            [g, fid[:, None].astype(jnp.float32)], axis=-1)   # (C, 10+3D)
+        rows = jax.lax.dot_general(
+            oh.astype(jnp.float32).reshape(pc * knum, C), table,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rows = rows.reshape(pc, knum, 10 + 3 * D)
+        x0 = pcc[:, None, 0]
+        y0 = pcc[:, None, 1]
+        a_ex, a_ey = rows[..., 0] - x0, rows[..., 1] - y0     # (pc, knum)
+        b_ex, b_ey = rows[..., 2] - x0, rows[..., 3] - y0
+        c_ex, c_ey = rows[..., 4] - x0, rows[..., 5] - y0
+        w0 = b_ex * c_ey - b_ey * c_ex
+        w1 = c_ex * a_ey - c_ey * a_ex
+        w2 = a_ex * b_ey - a_ey * b_ex
+        norm = w0 + w1 + w2
+        # sign(0) -> +1: dead slots have all-zero rows; 0/0 would poison
+        # the gradients flowing back through the one-hot matmul
+        norm = norm + jnp.where(norm >= 0., eps, -eps)
+        w0, w1, w2 = w0 / norm, w1 / norm, w2 / norm
+        depth = (w0 * rows[..., 6] + w1 * rows[..., 7]
+                 + w2 * rows[..., 8])
+        feats = (w0[..., None] * rows[..., 9:9 + D]
+                 + w1[..., None] * rows[..., 9 + D:9 + 2 * D]
+                 + w2[..., None] * rows[..., 9 + 2 * D:9 + 3 * D])
+        feats = jnp.where(live[..., None], feats, 0.)
+        fid_k = jnp.where(
+            live, jax.lax.stop_gradient(rows[..., 9 + 3 * D])
+            .astype(jnp.int32), -1)
+        out_d = jnp.where(live, depth, -jnp.inf)
 
         # stable depth sort, near-to-far (descending; invalid -inf last)
         neg_d = jax.lax.stop_gradient(-out_d)
-        key2 = jax.lax.broadcasted_iota(jnp.int32, out_i.shape, 1)
+        key2 = jax.lax.broadcasted_iota(jnp.int32, fid_k.shape, 1)
         ops = jax.lax.sort(
-            (neg_d, key2, out_i, out_d) + tuple(
-                out_f[..., j] for j in range(D)),
+            (neg_d, key2, fid_k) + tuple(
+                feats[..., j] for j in range(D)),
             dimension=1, num_keys=2, is_stable=False)
         out_i = ops[2]
-        out_f = jnp.stack(ops[4:], axis=-1)
+        out_f = jnp.stack(ops[3:], axis=-1)
         return out_f, out_i
+
+    def chunk_step(args):
+        ids, pcc, rrc = args            # (CKf,), (pc, 2), (pc, 2)
+        g = vt_g_f[ids].reshape(C, 9 + 3 * D)                 # diff
+        m = vt_m_f[ids].reshape(C, 5)
+        fid = fid_f[ids].reshape(C)
+        slots = jax.lax.stop_gradient(select_slots(
+            jax.lax.stop_gradient(g), m, fid, pcc, rrc))
+        return jax.checkpoint(epilogue)(g, fid, pcc, slots)
 
     feats, fidx = jax.lax.map(
         chunk_step, (cand_ids, pcs, rrs))
