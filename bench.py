@@ -235,9 +235,14 @@ def _phase_spc(mesh):
     direction = jnp.asarray(direction[perm])
 
     # knum=192 > the scene's max hits/ray (179 per-column worst case);
-    # non-saturation is re-verified after the JSON is banked
+    # non-saturation is re-verified after the JSON is banked; the tile
+    # and segment settings are the best NON-SATURATING config from the
+    # on-chip sweep (scripts/probe_r5_tune*.py)
     kwargs = dict(engine='mosaic', cell_table=table, knum=192,
-                  with_exit=False, max_active_blocks=16384)
+                  with_exit=False, max_active_blocks=16384,
+                  rays_per_tile=32, max_super_voxels=512 * 192,
+                  segments=((512, 192), (1536, 48), (4096, 16),
+                            (None, 4)))
 
     def rt_step(carry):
         o, sat, cnt = carry

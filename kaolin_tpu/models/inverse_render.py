@@ -111,7 +111,7 @@ def compute_selection(params: InverseRenderParams, views: CameraViews,
 
 def render_views(params: InverseRenderParams, views: CameraViews, faces,
                  face_uvs, height, width, backend='auto', sigmainv=7000.,
-                 with_soft_mask=True, selection=None):
+                 with_soft_mask=True, selection=None, knum=30):
     """Render all views: textured DIB-R + SH lighting.
 
     Mirrors the reference DIB-R tutorial pipeline (call stack SURVEY.md
@@ -151,7 +151,7 @@ def render_views(params: InverseRenderParams, views: CameraViews, faces,
     images = jnp.where((face_idx >= 0)[..., None], images, 0.)
     if with_soft_mask:
         soft_mask = mesh_render.dibr_soft_mask(
-            face_vertices_image, face_idx, sigmainv=sigmainv,
+            face_vertices_image, face_idx, sigmainv=sigmainv, knum=knum,
             kbuf=None if selection is None else selection[1])
     else:
         soft_mask = (face_idx >= 0).astype(images.dtype)
@@ -160,12 +160,12 @@ def render_views(params: InverseRenderParams, views: CameraViews, faces,
 
 def render_loss(params, views, faces, face_uvs, target_images, target_masks,
                 height, width, backend='auto', with_soft_mask=True,
-                selection=None):
+                selection=None, knum=30):
     """Image L1 + silhouette IoU loss (the reference tutorials' loss)."""
     from kaolin_tpu.metrics.render import mask_iou
     images, soft_mask, _ = render_views(
         params, views, faces, face_uvs, height, width, backend=backend,
-        with_soft_mask=with_soft_mask, selection=selection)
+        with_soft_mask=with_soft_mask, selection=selection, knum=knum)
     image_loss = jnp.mean(jnp.abs(images - target_images))
     mask_loss = mask_iou(soft_mask, target_masks)
     return image_loss + mask_loss

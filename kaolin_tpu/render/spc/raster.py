@@ -962,7 +962,7 @@ def unbatched_raytrace_coherent(octree, point_hierarchy, pyramid, exsum,
             segs.append((None, segs[-1][1]))
         cw_ = int(cell_table.rows.shape[2])
         cs = min(Mc, max(segs[0][1],
-                         int(max_super_voxels or 131072) // cw_))
+                         int(max_super_voxels or 98304) // cw_))
         if interpret is None:
             interpret = jax.default_backend() != 'tpu'
         nB_all = (N + rpad) // RT

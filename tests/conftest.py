@@ -10,6 +10,11 @@ before any test module imports jax ops.
 """
 import os
 
+# the dryrun's config-#5 weak-scaling sweep spawns 1024^2 CPU renders —
+# minutes per point; the unit suite exercises the sweep machinery via
+# the entry test at small shapes instead
+os.environ.setdefault("KAOLIN_SKIP_WEAK_SCALE", "1")
+
 if os.environ.get("KAOLIN_TPU_TESTS") == "1":
     # opt-in real-TPU mode: leave the axon platform active so the
     # @pytest.mark.tpu smoke tests exercise compiled Mosaic kernels
@@ -25,3 +30,8 @@ else:
     import jax  # noqa: E402
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the suite is XLA-CPU-compile-bound on
+    # small hosts; reruns hit the cache and finish in a fraction
+    _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

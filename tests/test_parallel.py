@@ -118,13 +118,14 @@ def test_sharded_fused_selection_matches_single(eight_devices):
                                atol=1e-6)
 
 
-def test_graft_entry_dryrun():
+def test_graft_entry_dryrun(monkeypatch):
     import importlib
     import __graft_entry__ as g
     importlib.reload(g)
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out[0].shape == (1, 512, 512, 3)
+    monkeypatch.setenv('KAOLIN_DRYRUN_RES', '64')
     g.dryrun_multichip(4)
 
 
@@ -142,9 +143,9 @@ def test_tile_sharded_render_loss_grads_match_single(eight_devices):
                         triangulate=True)
     faces = jnp.asarray(np.asarray(m.faces))
     face_uvs = jnp.asarray(np.asarray(m.uvs)[np.asarray(m.face_uvs_idx)])
-    params = M.init_params(m, texture_res=16)
+    params = M.init_params(m, texture_res=8)
     views = M.make_views(2)
-    H = W = 32
+    H = W = 16
     rng = np.random.default_rng(0)
     t_img = jnp.asarray(rng.uniform(size=(2, H, W, 3)).astype(np.float32))
     t_mask = jnp.asarray(
@@ -152,11 +153,12 @@ def test_tile_sharded_render_loss_grads_match_single(eight_devices):
 
     def loss_sharded(p):
         return tile_sharded_render_loss(
-            mesh2d, p, views, faces, face_uvs, t_img, t_mask, H, W)
+            mesh2d, p, views, faces, face_uvs, t_img, t_mask, H, W,
+            knum=8)
 
     def loss_single(p):
         return M.render_loss(p, views, faces, face_uvs, t_img, t_mask,
-                             H, W, backend='jnp')
+                             H, W, backend='jnp', knum=8)
 
     v_s, g_s = jax.value_and_grad(loss_sharded)(params)
     v_1, g_1 = jax.value_and_grad(loss_single)(params)
@@ -165,6 +167,20 @@ def test_tile_sharded_render_loss_grads_match_single(eight_devices):
                     jax.tree_util.tree_leaves(g_1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_weak_scale_worker_point(eight_devices, capsys, monkeypatch):
+    """One point of the config-#5 weak-scaling sweep in-process at a
+    tiny shape (the full 1024^2 sweep only runs from the driver's
+    dryrun)."""
+    import __graft_entry__ as g
+    monkeypatch.setenv('KAOLIN_WS_NDEV', '4')
+    monkeypatch.setenv('KAOLIN_WS_MESH', '2x2')
+    monkeypatch.setenv('KAOLIN_WS_RES', '32')
+    monkeypatch.setenv('KAOLIN_WS_VPD', '1')
+    g._weak_scale_worker()
+    out = capsys.readouterr().out
+    assert 'WEAK_SCALE_OK' in out and 'views=4' in out
 
 
 def test_tile_sharded_selection_matches_single(eight_devices):
