@@ -24,16 +24,17 @@ Workloads:
   SH lighting, gradients to vertices/texture/lighting.  The step is the
   TPU-native two-program structure (selection passes + differentiable
   grad epilogue) used by the training loop itself.
-* SPC (config #3): fox.obj voxelized to a level-10 octree (host
-  builder — no device readback), 1M camera rays traced via the chunked
-  BFS (``render/spc/raytrace.py``) at 3x-rays capacity (non-saturating,
-  verified post-run).
+* SPC (config #3): fox.obj voxelized to a level-10 octree via the
+  jit-able DEVICE builder (host fallback), 1M camera rays traced by the
+  Mosaic raster engine (``render/spc/raster.py``) at knum=192
+  (non-saturating, exact per-ray counts; verified post-run).
 
 ``vs_baseline`` is the speedup of the fused selection backend over the
 pure-XLA 'jnp' one on the same chip (the reference publishes no absolute
-numbers — see BASELINE.md).  Extra keys: ``triangles_per_s`` (faces
-processed per second by the fused rasterizer) and
-``spc_raytrace_rays_per_s``.
+numbers — see BASELINE.md).  Extra keys: ``triangles_per_s`` (fox, 10k
+faces) + ``triangles_per_s_168k``-style hires point (subdivided fox),
+``spc_raytrace_rays_per_s``, ``deftet_pixels_per_s``, and
+``dibr_phase_ms`` (per-phase roofline anchor).
 """
 
 import json
@@ -234,12 +235,13 @@ def _phase_spc(mesh):
     origin = jnp.asarray(origin[perm])
     direction = jnp.asarray(direction[perm])
 
-    # knum=192 > the scene's max hits/ray (179 per-column worst case);
-    # non-saturation is re-verified after the JSON is banked; the tile
-    # and segment settings are the best NON-SATURATING config from the
-    # on-chip sweep (scripts/probe_r5_tune*.py)
-    kwargs = dict(engine='mosaic', cell_table=table, knum=192,
-                  with_exit=False, max_active_blocks=16384,
+    # knum=256 > the scene's max hits/ray (179 per-column worst case)
+    # and equals the kernel k-buffer, so the output slice is a no-op;
+    # non-saturation is re-verified after the JSON is banked; all
+    # settings are the best NON-SATURATING config from the on-chip
+    # sweep (scripts/probe_r5_tune*.py: 10.0 Mrays/s, exact hit count)
+    kwargs = dict(engine='mosaic', cell_table=table, knum=256,
+                  with_exit=False, max_active_blocks=8192,
                   rays_per_tile=32, max_super_voxels=512 * 192,
                   segments=((512, 192), (1536, 48), (4096, 16),
                             (None, 4)))
